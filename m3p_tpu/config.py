@@ -1,0 +1,274 @@
+"""Typed configuration for the m3p_tpu framework.
+
+The reference drives everything from a ~140-flag argparse namespace
+(`/root/reference/M3P/train_x.py:29-391`).  Here the same surface is expressed as
+typed dataclasses with explicit sub-configs; `m3p_tpu.cli.train_x` maps the
+reference's CLI flags onto these fields for drop-in parity.
+
+String micro-DSLs kept for parity (SURVEY.md §5.6):
+  * task steps:      ``"coco-img,flicker-img"``  -> list of (dataset, modality)
+  * lambda schedule: ``"0:1,1000:0"``            -> piecewise-linear coefficient
+  * optimizer spec:  ``"adam_inverse_sqrt,beta1=0.9,lr=0.0001"``
+  * languages:       ``"en-de-fr-cs"``           -> lang2id mapping
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+# Special-token ids follow the XLM-R / fairseq convention used throughout the
+# reference (`loader.py:147-153`, `xtrainer.py:836-846`):
+#   <s>(bos/cls)=0  <pad>=1  </s>(eos/sep)=2  <unk>=3  <mask>=vocab-1
+BOS_IDX = 0
+PAD_IDX = 1
+EOS_IDX = 2
+UNK_IDX = 3
+
+# Faster-RCNN visual-genome object vocabulary size (reference ObjPredLayer,
+# `transformer.py:562-591`).
+N_OBJ_CLASSES = 1600
+# Region feature dim + bbox geometry dim (`transformer.py:237-240`).
+IMG_FEAT_DIM = 2048
+IMG_LOC_DIM = 5
+
+N_MAX_POSITIONS = 514  # `transformer.py:16`
+
+
+def parse_lgs(lgs: str) -> Dict[str, int]:
+    """``"en-de-fr-cs"`` -> ``{"en":0, "de":1, "fr":2, "cs":3}`` (`loader.py:36-44`)."""
+    langs = [l for l in lgs.split("-") if l]
+    # preserve order, drop duplicates
+    seen: List[str] = []
+    for l in langs:
+        if l not in seen:
+            seen.append(l)
+    return {l: i for i, l in enumerate(seen)}
+
+
+def parse_steps(steps: str) -> List[Tuple[str, Optional[str]]]:
+    """``"coco-img,mild"`` -> ``[("coco","img"), ("mild",None)]`` (`loader.py:93-104`)."""
+    out: List[Tuple[str, Optional[str]]] = []
+    for item in [s for s in steps.split(",") if s]:
+        if "-" in item:
+            a, b = item.split("-", 1)
+            out.append((a, b))
+        else:
+            out.append((item, None))
+    return out
+
+
+@dataclass
+class ModelConfig:
+    """Architecture of the unified multimodal encoder/decoder.
+
+    Mirrors the reference `TransformerModel` hyperparameters
+    (`transformer.py:610-729`); defaults are the published fine-tune recipe
+    (12L / 768d / 12H, `README.md:158-216`).
+    """
+
+    n_words: int = 250002            # XLM-R vocab (spm 249997 + 4 specials + <mask>)
+    n_langs: int = 5                 # incl. the image "language"/type slot
+    emb_dim: int = 768
+    n_layers: int = 12
+    n_dec_layers: int = 12           # decoder depth when used as generator
+    n_heads: int = 12
+    hidden_dim: int = 0              # 0 -> 4*emb_dim (reference convention)
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    gelu_activation: bool = True     # erf-gelu (`transformer.py:48-56`)
+    share_inout_emb: bool = True     # tied output projection (`transformer.py:728-729`)
+    sinusoidal_embeddings: bool = False
+    max_positions: int = N_MAX_POSITIONS
+    max_region_num: int = 100        # Faster-RCNN regions per image
+    refine_layers: int = 3           # AoA image refiner depth (`transformer.py:274-422`)
+    use_image_dist: bool = False     # 1600-d class-distribution embedding input
+    attention_setting: str = "v1"
+    use_externel_att: bool = False
+    asm: bool = False                # adaptive softmax (unsupported; CE only)
+    eos_index: int = EOS_IDX
+    pad_index: int = PAD_IDX
+    bos_index: int = BOS_IDX
+    mask_index: int = 250001
+    n_obj_classes: int = N_OBJ_CLASSES
+    img_feat_dim: int = IMG_FEAT_DIM
+    img_loc_dim: int = IMG_LOC_DIM
+    # --- TPU-native knobs (no reference equivalent) ---
+    dtype: str = "bfloat16"          # activation/compute dtype
+    param_dtype: str = "float32"
+    use_pallas_attention: bool = True   # fused Pallas flash-attention on TPU
+    remat: bool = False              # jax.checkpoint each encoder block
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.hidden_dim if self.hidden_dim else 4 * self.emb_dim
+
+    @property
+    def head_dim(self) -> int:
+        assert self.emb_dim % self.n_heads == 0
+        return self.emb_dim // self.n_heads
+
+
+@dataclass
+class OptimConfig:
+    """Optimizer spec; string form parses with `m3p_tpu.train.optim.parse_optim_spec`
+    for parity with the reference factory (`optim.py:211-270`)."""
+
+    spec: str = "adam_inverse_sqrt,beta1=0.9,beta2=0.98,lr=0.00005"
+    clip_grad_norm: float = 5.0
+    accumulate_gradients: int = 1
+    weight_decay: float = 0.0
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout.  Axes (SURVEY.md §2.3):
+      data  — batch sharding (DP / per-host data feeding)
+      fsdp  — parameter sharding over the data axis (ZeRO-3 style)
+      tensor— Megatron-style sharding of QKV / FFN matrices
+      seq   — sequence/context parallelism (ring attention)
+    Pipeline parallelism is expressed separately via stage slicing.
+    """
+
+    data: int = -1      # -1: all remaining devices
+    fsdp: int = 1
+    tensor: int = 1
+    seq: int = 1
+    axis_names: Tuple[str, ...] = ("data", "fsdp", "seq", "tensor")
+
+
+@dataclass
+class DataConfig:
+    data_path: str = ""
+    vocab_path: str = ""
+    lgs: str = "en"
+    max_len: int = 64                 # caption truncation (`README.md:183`)
+    max_region_num: int = 100
+    batch_size: int = 24
+    sample_n: int = 4                 # candidate-grid size for ITM (t2i/i2t)
+    word_pred: float = 0.15           # MLM masking rate
+    sample_alpha: float = 0.0
+    word_mask_keep_rand: str = "0.8,0.1,0.1"
+    obj_mask_ratio: float = 0.15
+    word_shuffle: float = 0.0
+    word_dropout: float = 0.0
+    word_blank: float = 0.0
+    # MCT code-switching (`clag.py`)
+    use_mct: bool = False
+    mct_sent_ratio: float = 0.5
+    mct_word_ratio: float = 0.3
+    seed: int = 12345
+    num_workers: int = 4
+    # static-shape MLM: max masked positions per sequence (TPU-native; the
+    # reference gathers a dynamic number, `xtrainer.py:385-434`)
+    max_pred_per_seq: int = 24
+    bptt: int = 128                   # stream dataset block length
+
+
+@dataclass
+class EvalConfig:
+    eval_only: bool = False
+    beam_size: int = 4
+    length_penalty: float = 1.0
+    early_stopping: bool = False
+    max_gen_len: int = 40
+    test_splits: int = 8              # eval-grid chunking (`xevaluator.py:1576`)
+    eval_batch_size: int = 64
+
+
+@dataclass
+class TrainConfig:
+    """Top-level experiment config (replaces the reference `params` namespace)."""
+
+    exp_name: str = "m3p_tpu"
+    exp_id: str = ""
+    dump_path: str = "./dumped"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    # task step lists (parity DSL, `loader.py:93-104`)
+    mlm_steps: str = ""
+    cross_rel_steps: str = ""
+    cross_mlm_steps: str = ""
+    cross_mrm_steps: str = ""
+    cross_mrfr_steps: str = ""
+    cross_ic_steps: str = ""
+    cross_mt_steps: str = ""
+    ntg_steps: str = ""
+    slide_steps: str = ""
+
+    # loss-coefficient schedules (``"0:1,1000:0"`` DSL, `utils.py:249-293`)
+    lambda_mlm: str = "1"
+    lambda_rel: str = "1"
+    lambda_mrm: str = "1"
+    lambda_mrfr: str = "1"
+    lambda_clcm: str = "1"
+    lambda_ic: str = "1"
+    lambda_mt: str = "1"
+    lambda_t2i: str = "1"
+    lambda_i2t: str = "1"
+
+    epoch_size: int = 100000
+    max_epoch: int = 100000
+    stopping_criterion: str = ""
+    validation_metrics: str = ""
+    save_periodic: int = 0
+    reload_model: str = ""
+    reload_checkpoint: str = ""
+    is_pretrain: bool = False
+    is_understanding: bool = False
+    is_generation: bool = False
+    is_mt: bool = False
+    is_ntg: bool = False
+    is_mild: bool = False
+    is_slide: bool = False
+    is_freelb: bool = False
+    # freeLB adversarial settings (`xtrainer.py:2700-2962`)
+    adv_lr: float = 0.001
+    adv_steps: int = 3
+    norm_type: str = "l2"
+    adv_max_norm: float = 0.0
+
+    seed: int = 12345
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @property
+    def lang2id(self) -> Dict[str, int]:
+        return parse_lgs(self.data.lgs)
+
+    @property
+    def id2lang(self) -> Dict[int, str]:
+        return {v: k for k, v in self.lang2id.items()}
+
+
+def small_test_config(**overrides: Any) -> TrainConfig:
+    """A tiny config for unit tests and CPU dry-runs."""
+    model = ModelConfig(
+        n_words=512, n_langs=3, emb_dim=64, n_layers=2, n_dec_layers=2,
+        n_heads=4, dropout=0.0, attention_dropout=0.0, max_region_num=8,
+        refine_layers=1, mask_index=511, dtype="float32",
+        use_pallas_attention=False,
+    )
+    data = DataConfig(max_len=16, max_region_num=8, batch_size=4, sample_n=2,
+                      max_pred_per_seq=4)
+    cfg = TrainConfig(model=model, data=data)
+    for k, v in overrides.items():
+        if hasattr(cfg, k):
+            cfg = cfg.replace(**{k: v})
+        elif hasattr(cfg.model, k):
+            cfg = cfg.replace(model=dataclasses.replace(cfg.model, **{k: v}))
+        elif hasattr(cfg.data, k):
+            cfg = cfg.replace(data=dataclasses.replace(cfg.data, **{k: v}))
+        else:
+            raise AttributeError(k)
+    return cfg

@@ -1,0 +1,282 @@
+"""Multi-head attention: Pallas TPU flash-attention kernel + XLA reference path.
+
+Semantics match the reference MHA (`/root/reference/M3P/src/model/transformer.py:
+127-210`): queries scaled by 1/sqrt(head_dim), masked positions get -inf-like
+scores, softmax computed in float32, output in the input dtype.  Padding is
+expressed as a per-key boolean mask (``kv_mask``: True = attend), which covers
+every usage in M3P (text padding, image-region padding, the [img; text] joint
+concat, and cross-attention over encoder states); ``causal`` adds the
+autoregressive triangle for decoding.
+
+The Pallas kernel is a blockwise online-softmax flash attention (never
+materializes the (Sq, Sk) score matrix), gridded over
+(batch, heads, q-blocks, kv-blocks) with fp32 running statistics in VMEM
+scratch.  The backward pass currently recomputes attention via the XLA path
+inside a custom_vjp (cheap at M3P sequence lengths; dedicated dq/dkv kernels are
+a planned optimization).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# -0.7 * float32_max: large negative that survives exp() without NaN (see
+# flash-attention masking convention).
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+NUM_LANES = 128
+
+
+def mha_reference(
+    q: jax.Array,          # (B, H, Sq, D)
+    k: jax.Array,          # (B, H, Sk, D)
+    v: jax.Array,          # (B, H, Sk, D)
+    kv_mask: Optional[jax.Array] = None,   # (B, Sk) bool, True = attend
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """XLA attention with fp32 softmax — the numerical ground truth."""
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, DEFAULT_MASK_VALUE)
+    if causal:
+        sq, sk = q.shape[2], k.shape[2]
+        # align diagonals at the end (for KV-cached decode, q is the suffix)
+        qi = jnp.arange(sq)[:, None] + (sk - sq)
+        ki = jnp.arange(sk)[None, :]
+        scores = jnp.where((ki <= qi)[None, None], scores, DEFAULT_MASK_VALUE)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash-attention forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref,        # (1, 1, block_q, D)
+    k_ref,        # (1, 1, block_k, D)
+    v_ref,        # (1, 1, block_k, D)
+    mask_ref,     # (1, 1, block_k) int32 (1 = attend)
+    o_ref,        # (1, 1, block_q, D)
+    m_scratch,    # (block_q, NUM_LANES) f32
+    l_scratch,    # (block_q, NUM_LANES) f32
+    acc_scratch,  # (block_q, D) f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+    q_offset: int,
+):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    q_idx = pl.program_id(2)
+
+    if causal:
+        # skip kv blocks entirely above the (offset) diagonal
+        should_run = (q_idx + 1) * block_q + q_offset > kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # (block_q, D)
+        k = k_ref[0, 0]  # (block_k, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale     # (block_q, block_k)
+
+        mask = mask_ref[0, 0, :][None, :] != 0  # (1, block_k)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + q_idx * block_q + q_offset
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + kv_idx * block_k
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]   # (block_q, NUM_LANES)
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1)[:, None]          # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)          # broadcast over lanes
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                # (block_q, block_k)
+        l_corr = alpha * l_prev
+        l_next = l_corr + jnp.sum(p, axis=1)[:, None]
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0, 0]  # (block_k, D)
+        o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        # all lanes of the (block_q, NUM_LANES) stats carry the same value;
+        # broadcast column 0 over the head dim
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]                    # (block_q, 1)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,                         # (B, H, Sq, D)
+    k: jax.Array,                         # (B, H, Sk, D)
+    v: jax.Array,                         # (B, H, Sk, D)
+    kv_mask: Optional[jax.Array] = None,  # (B, Sk) bool
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention (forward).  Pads sequence dims to block multiples
+    internally; padded keys are masked out, padded query rows are discarded."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, NUM_LANES))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), dtype=jnp.int32)
+    kv_mask = kv_mask.astype(jnp.int32)
+    if sk_p != sk:
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, sk_p - sk)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+
+    num_q_blocks = sq_p // block_q
+    num_kv_blocks = sk_p // block_k
+    # causal diagonal offset so that cached decode (sq < sk) aligns at the end
+    q_offset = sk - sq
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        sm_scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        q_offset=q_offset,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, h, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda bi, hi, qi, ki: (bi, 0, ki)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, kv_mask[:, None, :])
+
+    return out[:, :, :sq, :]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry point
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_pallas(q, k, v, kv_mask, causal, sm_scale, interpret):
+    return flash_attention(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+                           interpret=interpret)
+
+
+def _attention_pallas_fwd(q, k, v, kv_mask, causal, sm_scale, interpret):
+    out = flash_attention(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+                          interpret=interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _attention_pallas_bwd(causal, sm_scale, interpret, residuals, g):
+    # XLA-recompute backward: cheap at M3P sequence lengths, numerically tight.
+    q, k, v, kv_mask = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, kv_mask, causal=causal,
+                                         sm_scale=sm_scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatching attention entry point used by the model.
+
+    Pallas requires a TPU backend (or interpret mode); on CPU test meshes the
+    XLA path is used automatically.
+    """
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and (on_tpu or interpret):
+        return _attention_pallas(q, k, v, kv_mask, causal, scale, interpret)
+    return mha_reference(q, k, v, kv_mask, causal=causal, sm_scale=scale)
