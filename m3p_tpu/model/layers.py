@@ -1,0 +1,236 @@
+"""Core transformer layers: multi-head attention and FFN, post-LN blocks.
+
+Semantics follow the reference encoder (`/root/reference/M3P/src/model/
+transformer.py:127-227, 842-864`): post-layer-norm residual order, q/sqrt(d_head)
+scaling, fp32 softmax, erf-GELU FFN with dropout after the second projection.
+Weight matrices carry flax logical-axis annotations ("embed", "heads", "kv",
+"mlp") so tensor parallelism is a sharding-rule choice, not a code change.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from m3p_tpu.ops.activations import gelu_erf
+from m3p_tpu.ops.attention import attention
+
+Dtype = Any
+LN_EPS = 1e-12  # all LayerNorms in the reference use eps=1e-12
+
+Cache = Dict[str, jax.Array]
+
+
+def _dense(features: int, dtype, param_dtype, name: str, logical_axes):
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), logical_axes),
+        bias_init=nn.with_logical_partitioning(
+            nn.initializers.zeros_init(), logical_axes[-1:]),
+        name=name,
+    )
+
+
+class LayerNorm(nn.Module):
+    """fp32 LayerNorm (eps=1e-12) returning the input dtype."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(
+            epsilon=LN_EPS, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="ln")(x).astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Reference-parity MHA over batch-major (B, S, D) tensors.
+
+    Supports self-attention, cross-attention (``kv`` given), and fixed-size
+    functional KV caching for incremental decoding (the jit-compatible
+    equivalent of the reference cache dict, `transformer.py:187-195`).
+    """
+
+    n_heads: int
+    dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = True
+
+    def setup(self) -> None:
+        d, pd = self.dtype, self.param_dtype
+        self.q_lin = _dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))
+        self.k_lin = _dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))
+        self.v_lin = _dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))
+        self.out_lin = _dense(self.dim, d, pd, "out_lin", ("qkv", "embed"))
+        self.attn_dropout = nn.Dropout(rate=self.dropout)
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        b, s, _ = x.shape
+        h = self.n_heads
+        return x.reshape(b, s, h, self.dim // h).transpose(0, 2, 1, 3)
+
+    def _merge(self, x: jax.Array) -> jax.Array:
+        b, h, s, dh = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+    def __call__(
+        self,
+        x: jax.Array,                       # (B, Sq, D)
+        kv_mask: Optional[jax.Array],       # (B, Sk) True = attend
+        kv: Optional[jax.Array] = None,     # (B, Sk, D) for cross-attention
+        causal: bool = False,
+        cache: Optional[Cache] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[Cache]]:
+        q = self._split(self.q_lin(x))
+
+        if cache is not None and kv is not None and "k" in cache:
+            # cross-attention KV computed once and reused across decode steps
+            k, v = cache["k"], cache["v"]
+        else:
+            src = x if kv is None else kv
+            k = self._split(self.k_lin(src))
+            v = self._split(self.v_lin(src))
+
+        new_cache: Optional[Cache] = None
+        if cache is not None:
+            if kv is not None:
+                new_cache = {"k": k, "v": v}
+            else:
+                # self-attention decode: write the new step into a fixed-size
+                # (B, H, S_max, Dh) cache at position cache["pos"]
+                pos = cache["pos"]  # scalar int32
+                ck = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0))
+                new_cache = {"k": ck, "v": cv, "pos": pos + q.shape[2]}
+                k, v = ck, cv
+                # attend to the filled region of the cache only; the query
+                # pad mask does not apply to keys during decode
+                s_max = ck.shape[2]
+                step_mask = jnp.arange(s_max)[None, :] < (pos + q.shape[2])
+                kv_mask = jnp.broadcast_to(step_mask, (q.shape[0], s_max))
+                causal = False  # cache mask already restricts to <= current pos
+
+        use_dropout = (not deterministic) and self.dropout > 0.0
+        if use_dropout:
+            # attention-weight dropout forces the XLA path (the Pallas kernel
+            # is dropout-free; training recipes that disable attention dropout
+            # get the fused kernel)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(q.shape[-1]))
+            if kv_mask is not None:
+                neg = jnp.finfo(jnp.float32).min * 0.7
+                scores = jnp.where(kv_mask[:, None, None, :], scores, neg)
+            if causal:
+                sq, sk = q.shape[2], k.shape[2]
+                qi = jnp.arange(sq)[:, None] + (sk - sq)
+                ki = jnp.arange(sk)[None, :]
+                neg = jnp.finfo(jnp.float32).min * 0.7
+                scores = jnp.where((ki <= qi)[None, None], scores, neg)
+            w = jax.nn.softmax(scores, axis=-1)
+            w = self.attn_dropout(w, deterministic=False)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+        else:
+            ctx = attention(q, k, v, kv_mask, causal=causal,
+                            use_pallas=self.use_pallas)
+
+        out = self.out_lin(self._merge(ctx))
+        return out, new_cache
+
+
+class TransformerFFN(nn.Module):
+    """2-layer MLP, erf-GELU, dropout after the output projection
+    (`transformer.py:213-227`)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    gelu_activation: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = _dense(self.hidden_dim, self.dtype, self.param_dtype,
+                   "lin1", ("embed", "mlp"))(x)
+        h = gelu_erf(h) if self.gelu_activation else jax.nn.relu(h)
+        h = _dense(self.dim, self.dtype, self.param_dtype,
+                   "lin2", ("mlp", "embed"))(h)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class EncoderBlock(nn.Module):
+    """Post-LN block: x = LN1(x + drop(attn)); [x = LN15(x + drop(enc_attn))];
+    x = LN2(x + ffn(x)); x *= pad_mask (`transformer.py:842-864, 1070-1100`)."""
+
+    n_heads: int
+    dim: int
+    ffn_dim: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    gelu_activation: bool = True
+    has_cross_attention: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = True
+
+    def setup(self) -> None:
+        kw = dict(n_heads=self.n_heads, dim=self.dim, dtype=self.dtype,
+                  param_dtype=self.param_dtype, use_pallas=self.use_pallas,
+                  dropout=self.attention_dropout)
+        self.attn = MultiHeadAttention(name="attn", **kw)
+        self.ln1 = LayerNorm(dtype=self.dtype, name="ln1")
+        if self.has_cross_attention:
+            self.encoder_attn = MultiHeadAttention(name="encoder_attn", **kw)
+            self.ln15 = LayerNorm(dtype=self.dtype, name="ln15")
+        self.ffn = TransformerFFN(
+            dim=self.dim, hidden_dim=self.ffn_dim, dropout=self.dropout,
+            gelu_activation=self.gelu_activation, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="ffn")
+        self.ln2 = LayerNorm(dtype=self.dtype, name="ln2")
+        self.res_dropout = nn.Dropout(rate=self.dropout)
+
+    def __call__(
+        self,
+        x: jax.Array,                         # (B, S, D)
+        pad_mask: jax.Array,                  # (B, S) True = valid
+        causal: bool = False,
+        src_enc: Optional[jax.Array] = None,  # (B, Ss, D)
+        src_mask: Optional[jax.Array] = None, # (B, Ss)
+        cache: Optional[Dict[str, Cache]] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[Dict[str, Cache]]]:
+        drop = self.res_dropout
+        new_cache: Dict[str, Cache] = {}
+
+        self_cache = cache.get("self") if cache is not None else None
+        attn_out, c = self.attn(x, pad_mask, causal=causal, cache=self_cache,
+                                deterministic=deterministic)
+        if c is not None:
+            new_cache["self"] = c
+        x = self.ln1(x + drop(attn_out, deterministic=deterministic))
+
+        if self.has_cross_attention and src_enc is not None:
+            cross_cache = cache.get("cross") if cache is not None else None
+            attn_out, c = self.encoder_attn(
+                x, src_mask, kv=src_enc, cache=cross_cache,
+                deterministic=deterministic)
+            if c is not None:
+                new_cache["cross"] = c
+            x = self.ln15(x + drop(attn_out, deterministic=deterministic))
+
+        x = self.ln2(x + self.ffn(x, deterministic=deterministic))
+        x = x * pad_mask[..., None].astype(x.dtype)
+        return x, (new_cache if cache is not None else None)

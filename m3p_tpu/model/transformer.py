@@ -1,0 +1,267 @@
+"""The unified M3P encoder/decoder model.
+
+Capability parity with the reference ``TransformerModel``
+(`/root/reference/M3P/src/model/transformer.py:610-1515`) but organised the
+TPU-native way: instead of mode-string dispatch over a mutable nn.Module, the
+three forward topologies are explicit pure methods on one Flax module —
+
+  * ``encode_text``  — text stream (reference ``crossfwd(stream_='text')``):
+    word+pos+lang embeddings -> LN -> encoder stack; optionally causal with
+    cross-attention over ``src_enc`` (decoding) and a functional KV cache.
+  * ``encode_image`` — image stream (``crossfwd(stream_='img')``): region
+    embeddings (no emb-LN, no positions) -> optional AoA refine -> encoder.
+  * ``encode_joint`` — single-stream fusion (``jointfwd``): [img; text] concat
+    on the sequence axis, shared learned positions over the concat, emb-LN,
+    then the shared encoder stack.
+
+All sequences are batch-major, fixed-shape, with boolean padding masks (the
+reference's ``lengths``-derived masks, `transformer.py:59-77`).  Heads:
+masked-word prediction (tied embeddings), 1600-class region prediction, ITM,
+CLCM, MRFR feature regression.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from m3p_tpu.config import ModelConfig
+from m3p_tpu.model.embeddings import AoARefiner, ImageEmbeddings, TextEmbeddings
+from m3p_tpu.model.heads import MRFRHead, ObjPredLayer, Pooler, PredLayer
+from m3p_tpu.model.layers import EncoderBlock, LayerNorm
+
+Cache = Dict[str, Any]
+
+
+def lengths_to_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    """(B,) lengths -> (B, max_len) bool validity mask (`transformer.py:59-68`)."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+class M3PModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self) -> None:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+        self._dtype = dtype
+
+        self.text_emb = TextEmbeddings(
+            n_words=cfg.n_words, n_langs=cfg.n_langs, dim=cfg.emb_dim,
+            max_positions=cfg.max_positions, dropout=cfg.dropout,
+            dtype=dtype, param_dtype=pdtype, name="text_emb")
+        self.image_emb = ImageEmbeddings(
+            dim=cfg.emb_dim, dropout=cfg.dropout, dtype=dtype,
+            param_dtype=pdtype, name="image_emb")
+        self.refiner = AoARefiner(
+            n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
+            n_layers=cfg.refine_layers, dropout=cfg.dropout, dtype=dtype,
+            param_dtype=pdtype, use_pallas=cfg.use_pallas_attention,
+            name="refiner")
+
+        block = EncoderBlock
+        if cfg.remat:
+            block = nn.remat(EncoderBlock, static_argnums=(2, 6))
+        self.blocks = [
+            block(
+                n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
+                dropout=cfg.dropout, attention_dropout=cfg.attention_dropout,
+                gelu_activation=cfg.gelu_activation, has_cross_attention=True,
+                dtype=dtype, param_dtype=pdtype,
+                use_pallas=cfg.use_pallas_attention, name=f"block_{i}")
+            for i in range(cfg.n_layers)
+        ]
+
+        self.pred_layer = PredLayer(
+            n_words=cfg.n_words, dim=cfg.emb_dim, dtype=dtype,
+            param_dtype=pdtype, name="pred_layer")
+        self.obj_pred = ObjPredLayer(
+            n_obj_classes=cfg.n_obj_classes, dim=cfg.emb_dim, dtype=dtype,
+            param_dtype=pdtype, name="obj_pred")
+        self.itm_pooler = Pooler(dim=cfg.emb_dim, dtype=dtype,
+                                 param_dtype=pdtype, name="itm_pooler")
+        self.clcm_pooler = Pooler(dim=cfg.emb_dim, dtype=dtype,
+                                  param_dtype=pdtype, name="clcm_pooler")
+        self.mrfr_head = MRFRHead(feat_dim=cfg.img_feat_dim, dtype=dtype,
+                                  param_dtype=pdtype, name="mrfr_head")
+        self.emb_dropout = nn.Dropout(rate=cfg.dropout)
+
+    # ------------------------------------------------------------------
+    # forward topologies
+    # ------------------------------------------------------------------
+
+    def _run_blocks(self, x, pad_mask, causal=False, src_enc=None,
+                    src_mask=None, cache=None, deterministic=True):
+        new_cache: Cache = {}
+        for i, blk in enumerate(self.blocks):
+            layer_cache = cache.get(f"layer_{i}") if cache is not None else None
+            x, c = blk(x, pad_mask, causal, src_enc, src_mask, layer_cache,
+                       deterministic)
+            if c is not None:
+                new_cache[f"layer_{i}"] = c
+        return x, (new_cache if cache is not None else None)
+
+    def encode_text(
+        self,
+        tokens: jax.Array,                    # (B, S) int32
+        text_mask: jax.Array,                 # (B, S) bool
+        langs: Optional[jax.Array] = None,    # (B, S) int32
+        positions: Optional[jax.Array] = None,
+        causal: bool = False,
+        src_enc: Optional[jax.Array] = None,  # (B, Ss, D) encoder output
+        src_mask: Optional[jax.Array] = None,
+        cache: Optional[Cache] = None,
+        deterministic: bool = True,
+        token_embeds: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Optional[Cache]]:
+        x = self.text_emb(tokens, positions=positions, langs=langs,
+                          deterministic=deterministic,
+                          token_embeds=token_embeds)
+        x = x * text_mask[..., None].astype(x.dtype)
+        return self._run_blocks(x, text_mask, causal=causal, src_enc=src_enc,
+                                src_mask=src_mask, cache=cache,
+                                deterministic=deterministic)
+
+    def encode_image(
+        self,
+        feats: jax.Array,                     # (B, R, 2048)
+        locs: jax.Array,                      # (B, R, 5)
+        img_mask: jax.Array,                  # (B, R) bool
+        dist: Optional[jax.Array] = None,     # (B, R, 1600)
+        refine_image: bool = False,
+        deterministic: bool = True,
+        feats_embeds: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        # image stream: no emb-LN, no positions (`transformer.py:1060-1066`)
+        if feats_embeds is None:
+            x = self.image_emb(feats, locs, dist, deterministic=deterministic)
+        else:
+            x = feats_embeds
+        x = x * img_mask[..., None].astype(x.dtype)
+        if refine_image:
+            x = self.refiner(x, img_mask, deterministic=deterministic)
+        x, _ = self._run_blocks(x, img_mask, deterministic=deterministic)
+        return x
+
+    def embed_image_regions(
+        self,
+        feats: jax.Array,
+        locs: jax.Array,
+        img_mask: jax.Array,
+        dist: Optional[jax.Array] = None,
+        refine_image: bool = True,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Region embedding (+ optional AoA refine) without the encoder stack —
+        the reference ``ImageEmbedding`` mode (`transformer.py:1117-1137`)."""
+        x = self.image_emb(feats, locs, dist, deterministic=deterministic)
+        x = x * img_mask[..., None].astype(x.dtype)
+        if refine_image:
+            x = self.refiner(x, img_mask, deterministic=deterministic)
+        return x
+
+    def encode_joint(
+        self,
+        tokens: jax.Array,                    # (B, S)
+        text_mask: jax.Array,                 # (B, S)
+        feats: jax.Array,                     # (B, R, 2048)
+        locs: jax.Array,                      # (B, R, 5)
+        img_mask: jax.Array,                  # (B, R)
+        refine_image: bool = False,
+        deterministic: bool = True,
+        token_embeds: Optional[jax.Array] = None,
+        feats_embeds: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Single-stream fusion over the [img; text] concat (`jointfwd`,
+        `transformer.py:878-968`).  Returns (B, R+S, D); image part first.
+
+        Deviation from the reference (documented): the reference derives the
+        joint mask from len_img+len_text assuming contiguous validity
+        (`transformer.py:916-919`); we use the exact per-segment masks, which
+        is identical whenever regions are densely packed (always true in the
+        reference data pipeline, num_boxes == max_region_num).
+        """
+        if feats_embeds is None:
+            img = self.image_emb(feats, locs, deterministic=deterministic)
+        else:
+            img = feats_embeds
+        r = img.shape[1]
+        img_pad = img_mask[..., None].astype(img.dtype)
+        img = img * img_pad
+        if refine_image:
+            img = self.refiner(img, img_mask, deterministic=deterministic)
+
+        txt = (self.text_emb.embed_tokens(tokens)
+               if token_embeds is None else token_embeds)
+
+        x = jnp.concatenate([img, txt.astype(img.dtype)], axis=1)
+        s_total = x.shape[1]
+        positions = jnp.arange(s_total)[None, :]
+        x = x + self.text_emb.position(positions)
+
+        joint_mask = jnp.concatenate([img_mask, text_mask], axis=1)
+        x = x * joint_mask[..., None].astype(x.dtype)
+        x = self.text_emb.ln_emb(x)
+        x = self.emb_dropout(x, deterministic=deterministic)
+
+        x, _ = self._run_blocks(x, joint_mask, deterministic=deterministic)
+        return x
+
+    # ------------------------------------------------------------------
+    # heads (reference ``predict`` mode, `transformer.py:1183-1214`)
+    # ------------------------------------------------------------------
+
+    def word_logits(self, hidden: jax.Array) -> jax.Array:
+        """(…, D) -> (…, n_words) via the tied word embedding + bias."""
+        emb = self.text_emb.word.embedding if self.cfg.share_inout_emb else None
+        return self.pred_layer(hidden, embedding=emb)
+
+    def obj_logits(self, hidden: jax.Array) -> jax.Array:
+        return self.obj_pred(hidden)
+
+    def itm_score(self, hidden: jax.Array) -> jax.Array:
+        """(B, S, D) -> (B, 1) image-text matching score (token 0 pooled)."""
+        return self.itm_pooler(hidden)
+
+    def clcm_score(self, hidden: jax.Array) -> jax.Array:
+        return self.clcm_pooler(hidden)
+
+    def mrfr_predict(self, hidden: jax.Array) -> jax.Array:
+        return self.mrfr_head(hidden)
+
+    def embed_tokens(self, tokens: jax.Array) -> jax.Array:
+        return self.text_emb.embed_tokens(tokens)
+
+    # ------------------------------------------------------------------
+    # decode cache
+    # ------------------------------------------------------------------
+
+    def init_cache(self, batch_size: int, max_len: int) -> Cache:
+        cfg = self.cfg
+        dh = cfg.head_dim
+        dtype = jnp.dtype(cfg.dtype)
+        cache: Cache = {}
+        for i in range(cfg.n_layers):
+            cache[f"layer_{i}"] = {
+                "self": {
+                    "k": jnp.zeros((batch_size, cfg.n_heads, max_len, dh), dtype),
+                    "v": jnp.zeros((batch_size, cfg.n_heads, max_len, dh), dtype),
+                    "pos": jnp.array(0, jnp.int32),
+                },
+                "cross": {},
+            }
+        return cache
+
+    def __call__(self, tokens, text_mask, feats, locs, img_mask,
+                 deterministic: bool = True):
+        """Joint forward + ITM score — the canonical single entry used for
+        parameter init and compile checks."""
+        hidden = self.encode_joint(tokens, text_mask, feats, locs, img_mask,
+                                   deterministic=deterministic)
+        logits = self.word_logits(hidden[:, feats.shape[1]:])
+        itm = self.itm_score(hidden)
+        return hidden, logits, itm

@@ -1,0 +1,27 @@
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+The container boot registers the axon TPU plugin via sitecustomize before any
+test code runs, so JAX_PLATFORMS in the environment is not enough — the backend
+must be overridden through jax.config before first device use.  8 virtual CPU
+devices are JAX's standard fake-multi-device mechanism for testing mesh
+sharding (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devices = jax.devices()
+    assert len(devices) == 8, devices
+    return devices

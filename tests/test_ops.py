@@ -1,0 +1,57 @@
+"""Pallas flash-attention kernel vs the fp32 XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p_tpu.ops.attention import flash_attention, mha_reference
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    rng = np.random.RandomState(0)
+    B, H, S, D = 2, 2, 96, 64
+    q = jnp.array(rng.randn(B, H, S, D), jnp.float32)
+    k = jnp.array(rng.randn(B, H, S, D), jnp.float32)
+    v = jnp.array(rng.randn(B, H, S, D), jnp.float32)
+    mask = jnp.array(np.arange(S)[None, :] < np.array([96, 57])[:, None])
+    return q, k, v, mask
+
+
+def test_flash_matches_reference(qkv):
+    q, k, v, mask = qkv
+    ref = mha_reference(q, k, v, mask)
+    out = flash_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_causal(qkv):
+    q, k, v, mask = qkv
+    ref = mha_reference(q, k, v, mask, causal=True)
+    out = flash_attention(q, k, v, mask, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_decode_shape(qkv):
+    """Single-query decode against a longer KV (diagonal aligned at the end)."""
+    q, k, v, mask = qkv
+    q1 = q[:, :, -1:, :]
+    ref = mha_reference(q1, k, v, mask, causal=True)
+    out = flash_attention(q1, k, v, mask, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_reference_padding_rows_ignore_masked_keys():
+    """Scores of masked keys must not leak into valid queries."""
+    rng = np.random.RandomState(1)
+    B, H, S, D = 1, 1, 8, 4
+    q = jnp.array(rng.randn(B, H, S, D), jnp.float32)
+    k = jnp.array(rng.randn(B, H, S, D), jnp.float32)
+    v = jnp.array(rng.randn(B, H, S, D), jnp.float32)
+    mask = jnp.array(np.arange(S)[None, :] < 5)
+    out1 = mha_reference(q, k, v, mask)
+    k2 = k.at[:, :, 5:].set(99.0)
+    v2 = v.at[:, :, 5:].set(-99.0)
+    out2 = mha_reference(q, k2, v2, mask)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)

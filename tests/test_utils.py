@@ -1,0 +1,63 @@
+"""Config DSLs, schedules, sampling."""
+
+import numpy as np
+
+from m3p_tpu.config import parse_lgs, parse_steps, small_test_config
+from m3p_tpu.utils.schedules import LambdaSchedule
+from m3p_tpu.utils.sampling import set_sampling_probs, shuf_order
+
+
+def test_parse_lgs():
+    assert parse_lgs("en-de-fr-cs") == {"en": 0, "de": 1, "fr": 2, "cs": 3}
+    assert parse_lgs("en") == {"en": 0}
+
+
+def test_parse_steps():
+    assert parse_steps("coco-img,flicker-img") == [("coco", "img"), ("flicker", "img")]
+    assert parse_steps("") == []
+    assert parse_steps("mild") == [("mild", None)]
+
+
+def test_lambda_constant():
+    s = LambdaSchedule.parse("0.5")
+    assert s(0) == 0.5 and s(10**6) == 0.5 and s.is_constant
+
+
+def test_lambda_piecewise():
+    s = LambdaSchedule.parse("0:1,1000:0")
+    assert s(0) == 1.0
+    assert s(1000) == 0.0
+    assert abs(s(500) - 0.5) < 1e-9
+    assert s(2000) == 0.0  # clamped
+
+
+def test_lambda_multi_knot():
+    s = LambdaSchedule.parse("0:0,100:1,200:0.5")
+    assert abs(s(50) - 0.5) < 1e-9
+    assert abs(s(150) - 0.75) < 1e-9
+
+
+def test_sampling_probs_upweights_low_resource():
+    probs = set_sampling_probs({"en": 1000000, "sw": 1000}, coeff=0.5)
+    ratio_raw = 1000000 / 1000
+    ratio_smoothed = probs["en"] / probs["sw"]
+    assert ratio_smoothed < ratio_raw
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+
+
+def test_shuf_order_deterministic_and_distribution():
+    rng = np.random.RandomState(0)
+    items = ["a", "b", "c"]
+    out = shuf_order(items, n=5, rng=rng)
+    assert len(out) == 5 and set(out) <= set(items)
+    probs = {"a": 0.98, "b": 0.01, "c": 0.01}
+    rng = np.random.RandomState(0)
+    out = shuf_order(items, probs=probs, n=200, rng=rng)
+    assert out.count("a") > 150
+
+
+def test_small_config():
+    cfg = small_test_config()
+    assert cfg.model.ffn_dim == 4 * cfg.model.emb_dim
+    assert cfg.model.head_dim * cfg.model.n_heads == cfg.model.emb_dim
+    assert cfg.lang2id == {"en": 0}
