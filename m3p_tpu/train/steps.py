@@ -1,0 +1,328 @@
+"""Per-objective loss functions and jitted train steps.
+
+Objective parity with the reference XTrainer (`/root/reference/M3P/src/
+xtrainer.py:1128-2962`), redesigned as pure functions over static-shape
+batches:
+
+  * ``mlm``            — xMLM on text streams (`mlm_step`, :734)
+  * ``mct_pretrain``   — the multitask MCT step: ITM + MC-MLM + MC-MRM + MRFR
+    [+ CLCM] over the [img; text] joint stream (`pretrain_under_step`, :2234)
+  * ``itm``            — fine-tune retrieval t2i/i2t candidate-grid scoring
+    (`t2i_step`/`i2t_step`, :1888-2018)
+  * ``caption``        — image -> text generation CE (`ic_step`, :1443)
+  * ``mt`` / ``ntg``   — text seq2seq CE (`mt_step`, :1383; `ntg_step`, :2596)
+  * ``mt_caption``     — multimodal MT: joint [img; src] encoder, text decoder
+    (`mt_ic_step`, :1517)
+  * ``slide``          — binary slide-text matching (`slide_step`, :2649)
+
+Masking runs on device inside the step (see `m3p_tpu.data.masking`); loss
+coefficients (lambda schedules) enter as scalar arguments so schedule updates
+never recompile.  The 50/50 mask-words-or-mask-objects coin from
+`dataset_pretrain.py:376-383` is a per-row bernoulli applied to the mask
+weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from m3p_tpu.data.masking import MaskingConfig, mask_regions, mask_tokens
+from m3p_tpu.model.transformer import M3PModel, lengths_to_mask
+
+Batch = Dict[str, jax.Array]
+Metrics = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# loss helpers
+# ---------------------------------------------------------------------------
+
+
+def masked_ce(logits: jax.Array, labels: jax.Array,
+              weights: jax.Array) -> jax.Array:
+    """Mean CE over weighted slots (== reference mean-over-masked CE)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), jnp.maximum(labels, 0))
+    denom = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(ce * weights) / denom
+
+
+def itm_grid_losses(scores: jax.Array, pos_labels: jax.Array,
+                    sample_n: int) -> Tuple[jax.Array, jax.Array]:
+    """(B*N, 1) ITM scores -> (CE over the N-way grid, BCE vs one-hot).
+
+    Matches `t2i_step` (`xtrainer.py:1929-1943`): CE with the positive index
+    plus binary CE on each pair's score."""
+    grid = scores.reshape(-1, sample_n).astype(jnp.float32)
+    ce = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        grid, pos_labels))
+    one_hot = jax.nn.one_hot(pos_labels, sample_n, dtype=jnp.float32)
+    bce = jnp.mean(optax.sigmoid_binary_cross_entropy(grid, one_hot))
+    return ce, bce
+
+
+def seq2seq_ce(model: M3PModel, params, src_enc, src_mask, tgt_tokens,
+               tgt_mask, langs=None, rngs=None,
+               deterministic=True) -> Tuple[jax.Array, Metrics]:
+    """Teacher-forced next-token CE through the causal decoder with
+    cross-attention (`mt_step`/`ic_step` prediction structure)."""
+    x = tgt_tokens[:, :-1]
+    y = tgt_tokens[:, 1:]
+    y_mask = tgt_mask[:, 1:].astype(jnp.float32)
+    x_mask = tgt_mask[:, :-1]
+    dec, _ = model.apply(
+        {"params": params}, x, x_mask,
+        langs[:, :-1] if langs is not None else None, None, True,
+        src_enc, src_mask, None, deterministic,
+        method=model.encode_text, rngs=rngs)
+    logits = model.apply({"params": params}, dec, method=model.word_logits)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), y)
+    denom = jnp.maximum(jnp.sum(y_mask), 1.0)
+    loss = jnp.sum(ce * y_mask) / denom
+    acc = jnp.sum((jnp.argmax(logits, -1) == y) * y_mask) / denom
+    return loss, {"ce": loss, "acc": acc, "n_words": jnp.sum(y_mask)}
+
+
+# ---------------------------------------------------------------------------
+# objective losses
+# ---------------------------------------------------------------------------
+
+
+def mlm_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+             mask_cfg: MaskingConfig, deterministic: bool = False
+             ) -> Tuple[jax.Array, Metrics]:
+    """xMLM on a text stream (`mlm_step`, `xtrainer.py:734-770`)."""
+    r_mask, r_drop = jax.random.split(rng)
+    tokens = batch["tokens"]
+    text_mask = lengths_to_mask(batch["lengths"], tokens.shape[1])
+    masked, pos, labels, weights = mask_tokens(r_mask, tokens, text_mask,
+                                               mask_cfg)
+    hidden, _ = model.apply(
+        {"params": params}, masked, text_mask, batch.get("langs"),
+        method=model.encode_text, rngs={"dropout": r_drop},
+        deterministic=deterministic)
+    gathered = jnp.take_along_axis(hidden, pos[..., None], axis=1)
+    logits = model.apply({"params": params}, gathered,
+                         method=model.word_logits)
+    loss = masked_ce(logits, labels, weights)
+    return loss, {"mlm": loss}
+
+
+def mct_pretrain_loss(
+    model: M3PModel, params, batch: Batch, rng: jax.Array,
+    mask_cfg: MaskingConfig, sample_n: int,
+    lambda_rel: jax.Array, lambda_mlm: jax.Array, lambda_mrm: jax.Array,
+    lambda_mrfr: jax.Array, lambda_clcm: jax.Array,
+    refine_image: bool = True, deterministic: bool = False,
+) -> Tuple[jax.Array, Metrics]:
+    """The multitask pre-training step (`pretrain_under_step`).
+
+    Batch (already grid-flattened, BN = B * sample_n):
+      tokens (BN,S) — MCT-code-switched captions; text_len (BN,)
+      feats (BN,R,2048), locs (BN,R,5), obj_labels (BN,R), img_len (BN,)
+      pos_label (B,) — index of the positive pair within each N-group
+      [clcm_tokens (BN,S2), clcm_len, clcm_labels (BN,) — i2t CLCM pairs]
+    """
+    r_coin, r_text, r_img, r_drop = jax.random.split(rng, 4)
+    tokens = batch["tokens"]
+    bn, s = tokens.shape
+    r = batch["feats"].shape[1]
+    text_mask = lengths_to_mask(batch["text_len"], s)
+    img_mask = lengths_to_mask(batch["img_len"], r)
+
+    # 50/50 mask-words-or-mask-objects per row (`dataset_pretrain.py:376-383`)
+    coin = jax.random.bernoulli(r_coin, 0.5, (bn,)).astype(jnp.float32)
+
+    masked_tokens, pos_t, lab_t, w_t = mask_tokens(r_text, tokens, text_mask,
+                                                   mask_cfg)
+    w_t = w_t * coin[:, None]
+    masked_tokens = jnp.where(coin[:, None] > 0, masked_tokens, tokens)
+
+    masked_feats, pos_r, lab_r, w_r, tgt_r = mask_regions(
+        r_img, batch["feats"], batch["obj_labels"], img_mask, mask_cfg)
+    w_r = w_r * (1.0 - coin)[:, None]
+    masked_feats = jnp.where((coin < 1)[:, None, None], masked_feats,
+                             batch["feats"])
+
+    hidden = model.apply(
+        {"params": params}, masked_tokens, text_mask, masked_feats,
+        batch["locs"], img_mask, refine_image,
+        method=model.encode_joint, rngs={"dropout": r_drop},
+        deterministic=deterministic)
+    img_out, text_out = hidden[:, :r], hidden[:, r:]
+
+    # MC-MLM
+    g_t = jnp.take_along_axis(text_out, pos_t[..., None], axis=1)
+    mlm = masked_ce(
+        model.apply({"params": params}, g_t, method=model.word_logits),
+        lab_t, w_t)
+
+    # MC-MRM (obj label -1 == unlabeled region, `transformer.py:585`)
+    g_r = jnp.take_along_axis(img_out, pos_r[..., None], axis=1)
+    w_obj = w_r * (lab_r >= 0).astype(jnp.float32)
+    mrm = masked_ce(
+        model.apply({"params": params}, g_r, method=model.obj_logits),
+        lab_r, w_obj)
+
+    # MRFR feature regression
+    pred_feats = model.apply({"params": params}, g_r,
+                             method=model.mrfr_predict).astype(jnp.float32)
+    se = jnp.mean((pred_feats - tgt_r.astype(jnp.float32)) ** 2, axis=-1)
+    mrfr = jnp.sum(se * w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+
+    # ITM over the candidate grid
+    scores = model.apply({"params": params}, hidden, method=model.itm_score)
+    ce, bce = itm_grid_losses(scores, batch["pos_label"], sample_n)
+    rel = ce + bce
+
+    total = (lambda_rel * rel + lambda_mlm * mlm + lambda_mrm * mrm
+             + lambda_mrfr * mrfr)
+    metrics = {"rel": rel, "mlm": mlm, "mrm": mrm, "mrfr": mrfr}
+
+    # CLCM: concat-caption pairs, binary labels (i2t only)
+    if "clcm_tokens" in batch:
+        clcm_mask = lengths_to_mask(batch["clcm_len"],
+                                    batch["clcm_tokens"].shape[1])
+        hidden2 = model.apply(
+            {"params": params}, batch["clcm_tokens"], clcm_mask, masked_feats,
+            batch["locs"], img_mask, refine_image,
+            method=model.encode_joint, rngs={"dropout": r_drop},
+            deterministic=deterministic)
+        s2 = model.apply({"params": params}, hidden2,
+                         method=model.clcm_score).astype(jnp.float32)
+        clcm = jnp.mean(optax.sigmoid_binary_cross_entropy(
+            s2[:, 0], batch["clcm_labels"].astype(jnp.float32)))
+        total = total + lambda_clcm * clcm
+        metrics["clcm"] = clcm
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+def itm_finetune_loss(
+    model: M3PModel, params, batch: Batch, rng: jax.Array, sample_n: int,
+    refine_image: bool = True, deterministic: bool = False,
+    multi_cls_weight: float = 1.0, bin_cls_weight: float = 1.0,
+) -> Tuple[jax.Array, Metrics]:
+    """Fine-tune retrieval step (`t2i_step`/`i2t_step`): CE + BCE over the
+    sample_n candidate grid."""
+    tokens = batch["tokens"]
+    text_mask = lengths_to_mask(batch["text_len"], tokens.shape[1])
+    img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+    hidden = model.apply(
+        {"params": params}, tokens, text_mask, batch["feats"], batch["locs"],
+        img_mask, refine_image,
+        method=model.encode_joint, rngs={"dropout": rng},
+        deterministic=deterministic)
+    scores = model.apply({"params": params}, hidden, method=model.itm_score)
+    ce, bce = itm_grid_losses(scores, batch["pos_label"], sample_n)
+    loss = multi_cls_weight * ce + bin_cls_weight * bce
+    acc = jnp.mean(
+        (jnp.argmax(scores.reshape(-1, sample_n), axis=1)
+         == batch["pos_label"]).astype(jnp.float32))
+    return loss, {"loss": loss, "ce": ce, "bce": bce, "acc": acc}
+
+
+def caption_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+                 refine_image: bool = True, deterministic: bool = False
+                 ) -> Tuple[jax.Array, Metrics]:
+    """Image captioning (`ic_step`): encode regions via the image stream,
+    decode the caption with cross-attention."""
+    r_enc, r_dec = jax.random.split(rng)
+    img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+    src_enc = model.apply(
+        {"params": params}, batch["feats"], batch["locs"], img_mask, None,
+        refine_image, method=model.encode_image, rngs={"dropout": r_enc},
+        deterministic=deterministic)
+    tgt_mask = lengths_to_mask(batch["tgt_len"], batch["tokens"].shape[1])
+    loss, m = seq2seq_ce(model, params, src_enc, img_mask, batch["tokens"],
+                         tgt_mask, langs=batch.get("langs"),
+                         rngs={"dropout": r_dec}, deterministic=deterministic)
+    return loss, m
+
+
+def mt_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+            deterministic: bool = False) -> Tuple[jax.Array, Metrics]:
+    """Text seq2seq (`mt_step` / `ntg_step`)."""
+    r_enc, r_dec = jax.random.split(rng)
+    src_mask = lengths_to_mask(batch["src_len"], batch["src_tokens"].shape[1])
+    src_enc, _ = model.apply(
+        {"params": params}, batch["src_tokens"], src_mask,
+        batch.get("src_langs"), method=model.encode_text,
+        rngs={"dropout": r_enc}, deterministic=deterministic)
+    tgt_mask = lengths_to_mask(batch["tgt_len"], batch["tgt_tokens"].shape[1])
+    return seq2seq_ce(model, params, src_enc, src_mask, batch["tgt_tokens"],
+                      tgt_mask, langs=batch.get("tgt_langs"),
+                      rngs={"dropout": r_dec}, deterministic=deterministic)
+
+
+def mt_caption_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+                    refine_image: bool = True, deterministic: bool = False
+                    ) -> Tuple[jax.Array, Metrics]:
+    """Multimodal MT (`mt_ic_step`): joint [img; src-text] encoder, causal
+    text decoder with cross-attention over the joint encoding."""
+    r_enc, r_dec = jax.random.split(rng)
+    src_mask = lengths_to_mask(batch["src_len"], batch["src_tokens"].shape[1])
+    img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+    joint = model.apply(
+        {"params": params}, batch["src_tokens"], src_mask, batch["feats"],
+        batch["locs"], img_mask, refine_image,
+        method=model.encode_joint, rngs={"dropout": r_enc},
+        deterministic=deterministic)
+    joint_mask = jnp.concatenate([img_mask, src_mask], axis=1)
+    tgt_mask = lengths_to_mask(batch["tgt_len"], batch["tgt_tokens"].shape[1])
+    return seq2seq_ce(model, params, joint, joint_mask, batch["tgt_tokens"],
+                      tgt_mask, langs=batch.get("tgt_langs"),
+                      rngs={"dropout": r_dec}, deterministic=deterministic)
+
+
+def slide_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+               refine_image: bool = True, deterministic: bool = False
+               ) -> Tuple[jax.Array, Metrics]:
+    """Slide-text matching (`slide_step`): joint forward + binary ITM."""
+    text_mask = lengths_to_mask(batch["text_len"], batch["tokens"].shape[1])
+    img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+    hidden = model.apply(
+        {"params": params}, batch["tokens"], text_mask, batch["feats"],
+        batch["locs"], img_mask, refine_image,
+        method=model.encode_joint, rngs={"dropout": rng},
+        deterministic=deterministic)
+    scores = model.apply({"params": params}, hidden,
+                         method=model.itm_score).astype(jnp.float32)
+    loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        scores[:, 0], batch["labels"].astype(jnp.float32)))
+    acc = jnp.mean(((scores[:, 0] > 0)
+                    == (batch["labels"] > 0)).astype(jnp.float32))
+    return loss, {"loss": loss, "acc": acc}
+
+
+# ---------------------------------------------------------------------------
+# jitted step factory
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    loss_fn: Callable[..., Tuple[jax.Array, Metrics]],
+    donate: bool = True,
+) -> Callable:
+    """Wrap a loss function into a jitted (state, batch, rng, **scalars) ->
+    (state, metrics) step with value_and_grad."""
+
+    def step(state, batch, rng, **kw):
+        def compute(params):
+            return loss_fn(params, batch, rng, **kw)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,90 @@
+"""On-device masking transforms: rates, 80/10/10 distribution, fixed shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3p_tpu.data.masking import MaskingConfig, mask_regions, mask_tokens
+
+CFG = MaskingConfig(word_pred=0.15, obj_mask_ratio=0.15, max_pred=8,
+                    n_words=512, mask_index=511, pad_index=1)
+
+
+def test_mask_tokens_shapes_and_rate():
+    rng = np.random.RandomState(0)
+    B, S = 32, 32
+    tokens = jnp.array(rng.randint(4, 500, (B, S)), jnp.int32)
+    valid = jnp.ones((B, S), bool)
+    masked, pos, labels, weights = mask_tokens(jax.random.PRNGKey(0), tokens,
+                                               valid, CFG)
+    assert masked.shape == (B, S)
+    assert pos.shape == labels.shape == weights.shape == (B, CFG.max_pred)
+    rate = float(jnp.sum(weights)) / (B * (S - 1))
+    assert 0.08 < rate < 0.22, rate
+    # labels at weighted slots == original tokens at those positions
+    orig = jnp.take_along_axis(tokens, pos, axis=1)
+    assert bool(jnp.all((orig == labels) | (weights == 0)))
+
+
+def test_mask_tokens_never_masks_bos_or_pad():
+    rng = np.random.RandomState(1)
+    B, S = 16, 16
+    tokens = jnp.array(rng.randint(4, 500, (B, S)), jnp.int32)
+    tokens = tokens.at[:, 0].set(0).at[:, -4:].set(1)
+    valid = jnp.array(np.arange(S)[None, :] < S - 4).repeat(B, 0)
+    _, pos, _, weights = mask_tokens(jax.random.PRNGKey(1), tokens, valid, CFG)
+    picked = np.asarray(pos)[np.asarray(weights) > 0]
+    assert (picked != 0).all()
+    assert (picked < S - 4).all()
+
+
+def test_mask_tokens_801010_distribution():
+    rng = np.random.RandomState(2)
+    B, S = 64, 64
+    cfg = MaskingConfig(word_pred=0.5, max_pred=40, n_words=512,
+                        mask_index=511, pad_index=1)
+    tokens = jnp.array(rng.randint(4, 500, (B, S)), jnp.int32)
+    masked, pos, labels, weights = mask_tokens(jax.random.PRNGKey(2), tokens,
+                                               jnp.ones((B, S), bool), cfg)
+    new = np.asarray(jnp.take_along_axis(masked, pos, axis=1))
+    labels, weights = np.asarray(labels), np.asarray(weights)
+    sel = weights > 0
+    frac_mask = ((new == 511) & sel).sum() / sel.sum()
+    frac_keep = ((new == labels) & sel).sum() / sel.sum()
+    assert 0.72 < frac_mask < 0.88, frac_mask
+    assert 0.05 < frac_keep < 0.18, frac_keep
+
+
+def test_mask_regions():
+    rng = np.random.RandomState(3)
+    B, R = 16, 36
+    feats = jnp.array(rng.randn(B, R, 2048), jnp.float32)
+    obj = jnp.array(rng.randint(0, 1600, (B, R)), jnp.int32)
+    img_mask = jnp.ones((B, R), bool)
+    mf, pos, labels, weights, tgt = mask_regions(jax.random.PRNGKey(3), feats,
+                                                 obj, img_mask, CFG)
+    assert mf.shape == feats.shape
+    assert tgt.shape == (B, CFG.max_pred, 2048)
+    # masked regions zeroed, others untouched
+    pos_np, w_np = np.asarray(pos), np.asarray(weights)
+    mf_np, f_np = np.asarray(mf), np.asarray(feats)
+    for b in range(B):
+        for j in range(CFG.max_pred):
+            if w_np[b, j] > 0:
+                assert np.abs(mf_np[b, pos_np[b, j]]).max() == 0.0
+    # target feats are the originals at masked slots
+    tgt_np = np.asarray(tgt)
+    for b in range(2):
+        for j in range(CFG.max_pred):
+            if w_np[b, j] > 0:
+                np.testing.assert_array_equal(tgt_np[b, j], f_np[b, pos_np[b, j]])
+
+
+def test_masking_deterministic_per_key():
+    rng = np.random.RandomState(4)
+    tokens = jnp.array(rng.randint(4, 500, (4, 16)), jnp.int32)
+    valid = jnp.ones((4, 16), bool)
+    out1 = mask_tokens(jax.random.PRNGKey(7), tokens, valid, CFG)
+    out2 = mask_tokens(jax.random.PRNGKey(7), tokens, valid, CFG)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

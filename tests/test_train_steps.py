@@ -1,0 +1,163 @@
+"""Train-step tests: every objective runs, loss decreases, grads flow."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p_tpu.config import small_test_config
+from m3p_tpu.data.masking import MaskingConfig
+from m3p_tpu.data import synthetic
+from m3p_tpu.model import build_model
+from m3p_tpu.train.optim import build_optimizer
+from m3p_tpu.train.state import create_train_state
+from m3p_tpu.train import steps as S
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer("adam,lr=0.001", clip_grad_norm=5.0)
+    state = create_train_state(params, tx)
+    mask_cfg = MaskingConfig(max_pred=4, n_words=cfg.model.n_words,
+                             mask_index=cfg.model.mask_index)
+    return cfg, model, state, mask_cfg
+
+
+def _np_batch(b):
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_mct_pretrain_step(setup):
+    cfg, model, state, mask_cfg = setup
+    rng = np.random.RandomState(0)
+    batch = _np_batch(synthetic.make_pretrain_batch(
+        rng, 2, cfg.data.sample_n, cfg.data.max_len,
+        cfg.data.max_region_num, cfg.model.n_words, with_clcm=True))
+
+    def loss_fn(params, batch, key):
+        return S.mct_pretrain_loss(
+            model, params, batch, key, mask_cfg, cfg.data.sample_n,
+            lambda_rel=1.0, lambda_mlm=1.0, lambda_mrm=1.0, lambda_mrfr=1.0,
+            lambda_clcm=1.0, refine_image=True)
+
+    step = S.make_train_step(loss_fn, donate=False)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        for k in ["rel", "mlm", "mrm", "mrfr", "clcm"]:
+            assert np.isfinite(float(metrics[k])), k
+    assert losses[-1] < losses[0], losses
+
+
+def test_itm_finetune_step(setup):
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(1)
+    batch = _np_batch(synthetic.make_retrieval_batch(
+        rng, 2, cfg.data.sample_n, cfg.data.max_len,
+        cfg.data.max_region_num, cfg.model.n_words))
+
+    def loss_fn(params, batch, key):
+        return S.itm_finetune_loss(model, params, batch, key,
+                                   cfg.data.sample_n, refine_image=True)
+
+    step = S.make_train_step(loss_fn, donate=False)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_mlm_step(setup):
+    cfg, model, state, mask_cfg = setup
+    rng = np.random.RandomState(2)
+    batch = _np_batch(synthetic.make_stream_batch(rng, 4, 16,
+                                                  cfg.model.n_words))
+
+    def loss_fn(params, batch, key):
+        return S.mlm_loss(model, params, batch, key, mask_cfg)
+
+    step = S.make_train_step(loss_fn, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["mlm"]))
+
+
+def test_caption_step(setup):
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(3)
+    batch = _np_batch(synthetic.make_caption_batch(
+        rng, 4, cfg.data.max_len, cfg.data.max_region_num, cfg.model.n_words))
+
+    def loss_fn(params, batch, key):
+        return S.caption_loss(model, params, batch, key, refine_image=True)
+
+    step = S.make_train_step(loss_fn, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["ce"]))
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
+
+
+def test_mt_and_mt_caption_steps(setup):
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(4)
+    mt_batch = _np_batch(synthetic.make_mt_batch(rng, 4, cfg.data.max_len,
+                                                 cfg.model.n_words))
+    step = S.make_train_step(
+        lambda p, b, k: S.mt_loss(model, p, b, k), donate=False)
+    state, metrics = step(state, mt_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["ce"]))
+
+    cap = synthetic.make_caption_batch(rng, 4, cfg.data.max_len,
+                                       cfg.data.max_region_num,
+                                       cfg.model.n_words)
+    mmt_batch = _np_batch({
+        "src_tokens": mt_batch["src_tokens"], "src_len": mt_batch["src_len"],
+        "tgt_tokens": mt_batch["tgt_tokens"], "tgt_len": mt_batch["tgt_len"],
+        "feats": cap["feats"], "locs": cap["locs"], "img_len": cap["img_len"],
+    })
+    step2 = S.make_train_step(
+        lambda p, b, k: S.mt_caption_loss(model, p, b, k), donate=False)
+    state, metrics = step2(state, mmt_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["ce"]))
+
+
+def test_slide_step(setup):
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(5)
+    batch = _np_batch(synthetic.make_slide_batch(
+        rng, 4, cfg.data.max_len, cfg.data.max_region_num, cfg.model.n_words))
+    step = S.make_train_step(
+        lambda p, b, k: S.slide_loss(model, p, b, k), donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_lambda_zero_kills_objective(setup):
+    """With all lambdas zero the total pretrain loss must be exactly 0."""
+    cfg, model, state, mask_cfg = setup
+    rng = np.random.RandomState(6)
+    batch = _np_batch(synthetic.make_pretrain_batch(
+        rng, 2, cfg.data.sample_n, cfg.data.max_len,
+        cfg.data.max_region_num, cfg.model.n_words))
+    loss, _ = S.mct_pretrain_loss(
+        model, state.params, batch, jax.random.PRNGKey(0), mask_cfg,
+        cfg.data.sample_n, lambda_rel=0.0, lambda_mlm=0.0, lambda_mrm=0.0,
+        lambda_mrfr=0.0, lambda_clcm=0.0)
+    assert float(loss) == 0.0
+
+
+def test_optim_schedules():
+    from m3p_tpu.train.optim import inverse_sqrt_schedule, cosine_schedule
+    s = inverse_sqrt_schedule(5e-5, warmup_updates=4000)
+    assert float(s(1)) < float(s(2000)) < float(s(3999))
+    peak = float(s(4000))
+    assert abs(peak - 5e-5) / 5e-5 < 1e-3
+    assert float(s(16000)) == pytest.approx(peak / 2, rel=1e-3)
+    c = cosine_schedule(1e-4, warmup_updates=100, init_period=1000)
+    assert float(c(100)) == pytest.approx(1e-4, rel=1e-2)
+    assert float(c(600)) < float(c(100))
