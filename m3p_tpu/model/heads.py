@@ -66,7 +66,7 @@ class ObjPredLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = _dense(self.dim, self.dtype, self.param_dtype,
-                   "transform_dense", ("embed", "embed"))(x)
+                   "transform_dense", ("embed", None))(x)
         h = gelu_erf(h)
         h = LayerNorm(dtype=self.dtype, name="transform_ln")(h)
         return _dense(self.n_obj_classes, self.dtype, self.param_dtype,
@@ -85,7 +85,7 @@ class Pooler(nn.Module):
         """hidden: (B, S, D) -> score (B, 1)."""
         first = hidden[:, 0]
         pooled = _dense(self.dim, self.dtype, self.param_dtype,
-                        "dense", ("embed", "embed"))(first)
+                        "dense", ("embed", None))(first)
         pooled = jnp.tanh(pooled)
         return _dense(1, self.dtype, self.param_dtype,
                       "score", ("embed", None))(pooled)

@@ -310,9 +310,14 @@ def slide_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
 def make_train_step(
     loss_fn: Callable[..., Tuple[jax.Array, Metrics]],
     donate: bool = True,
+    state_shardings: Optional[Any] = None,
 ) -> Callable:
     """Wrap a loss function into a jitted (state, batch, rng, **scalars) ->
-    (state, metrics) step with value_and_grad."""
+    (state, metrics) step with value_and_grad.
+
+    ``state_shardings`` (a TrainState-shaped tree of NamedShardings, see
+    `m3p_tpu.parallel.sharding.train_state_shardings`) pins the output state
+    layout so parameters stay sharded across steps on a mesh."""
 
     def step(state, batch, rng, **kw):
         def compute(params):
@@ -325,4 +330,8 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    out_shardings = None
+    if state_shardings is not None:
+        out_shardings = (state_shardings, None)
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   out_shardings=out_shardings)
