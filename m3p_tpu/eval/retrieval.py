@@ -1,0 +1,117 @@
+"""Full-grid image-text retrieval evaluation.
+
+The reference scores every (caption, image) pair with a separate joint forward
+in a Python loop over bs=1 DataLoader rows with per-rank `.npy` dumps merged
+offline (`/root/reference/M3P/src/evaluation/xevaluator.py:1528-1657`).  Here
+the grid is restructured TPU-first: pairs are enumerated host-side, packed into
+fixed-size chunks, and scored by ONE jitted joint-forward that shards the chunk
+over the mesh data axis; the (n_images, n_captions) score matrix assembles on
+host and R@k reduces with numpy.
+
+Semantics preserved: the score of a pair is the ITM head's scalar on the
+[img; caption] joint encoding; ranking directions and R@1/5/10 + mean recall
+match `evaluate_image_retrieval` (`xevaluator.py:1621-1657`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3p_tpu.model.transformer import lengths_to_mask
+
+
+def _score_chunk(model, params, tokens, text_len, feats, locs, img_len,
+                 refine_image):
+    text_mask = lengths_to_mask(text_len, tokens.shape[1])
+    img_mask = lengths_to_mask(img_len, feats.shape[1])
+    hidden = model.apply({"params": params}, tokens, text_mask, feats, locs,
+                         img_mask, refine_image, method=model.encode_joint)
+    scores = model.apply({"params": params}, hidden, method=model.itm_score)
+    return scores[:, 0].astype(jnp.float32)
+
+
+def retrieval_grid_scores(
+    model,
+    params,
+    cap_tokens: np.ndarray,     # (n_cap, S)
+    cap_len: np.ndarray,        # (n_cap,)
+    img_feats: np.ndarray,      # (n_img, R, 2048)
+    img_locs: np.ndarray,       # (n_img, R, 5)
+    img_len: np.ndarray,        # (n_img,)
+    chunk_size: int = 512,
+    refine_image: bool = True,
+    batch_sharding=None,
+    progress: bool = False,
+) -> np.ndarray:
+    """Score all n_img x n_cap pairs; returns the fp32 score matrix."""
+    n_cap = cap_tokens.shape[0]
+    n_img = img_feats.shape[0]
+    n_pairs = n_img * n_cap
+
+    score_fn = jax.jit(
+        functools.partial(_score_chunk, model),
+        static_argnames=("refine_image",))
+
+    params_dev = params
+    out = np.zeros((n_pairs,), np.float32)
+    for start in range(0, n_pairs, chunk_size):
+        idx = np.arange(start, min(start + chunk_size, n_pairs))
+        pad = chunk_size - idx.size
+        ii = np.concatenate([idx // n_cap, np.zeros(pad, np.int64)])
+        ci = np.concatenate([idx % n_cap, np.zeros(pad, np.int64)])
+        batch = dict(
+            tokens=jnp.asarray(cap_tokens[ci]),
+            text_len=jnp.asarray(cap_len[ci]),
+            feats=jnp.asarray(img_feats[ii]),
+            locs=jnp.asarray(img_locs[ii]),
+            img_len=jnp.asarray(img_len[ii]),
+        )
+        if batch_sharding is not None:
+            batch = {k: jax.device_put(v, batch_sharding)
+                     for k, v in batch.items()}
+        s = score_fn(params_dev, batch["tokens"], batch["text_len"],
+                     batch["feats"], batch["locs"], batch["img_len"],
+                     refine_image=refine_image)
+        out[idx] = np.asarray(s)[: idx.size]
+    return out.reshape(n_img, n_cap)
+
+
+def recall_at_k(
+    scores: np.ndarray,          # (n_img, n_cap)
+    cap_to_img: np.ndarray,      # (n_cap,) ground-truth image per caption
+    ks=(1, 5, 10),
+) -> Dict[str, float]:
+    """R@k both directions + mean recall (`xevaluator.py:1621-1657`).
+
+    i2t: for each image, rank captions; hit if any gold caption in top-k.
+    t2i: for each caption, rank images; hit if the gold image in top-k.
+    """
+    n_img, n_cap = scores.shape
+    out: Dict[str, float] = {}
+
+    # image -> set of gold caption ids
+    order_i2t = np.argsort(-scores, axis=1)          # (n_img, n_cap)
+    gold_per_img = [np.where(cap_to_img == i)[0] for i in range(n_img)]
+    for k in ks:
+        hits = 0
+        for i in range(n_img):
+            topk = order_i2t[i, :k]
+            hits += bool(np.isin(topk, gold_per_img[i]).any())
+        out[f"i2t_r{k}"] = 100.0 * hits / n_img
+
+    order_t2i = np.argsort(-scores, axis=0)          # (n_img, n_cap) cols
+    for k in ks:
+        hits = 0
+        for c in range(n_cap):
+            topk = order_t2i[:k, c]
+            hits += bool((topk == cap_to_img[c]).any())
+        out[f"t2i_r{k}"] = 100.0 * hits / n_cap
+
+    out["mean_recall"] = float(np.mean(
+        [out[f"{d}_r{k}"] for d in ("i2t", "t2i") for k in ks]))
+    return out

@@ -1,0 +1,230 @@
+"""Autoregressive generation: greedy/sampled decoding and beam search.
+
+Functional, fixed-shape redesign of the reference decoding loops
+(`/root/reference/M3P/src/model/transformer.py:1216-1561`): the token-by-token
+Python loop with a mutable cache dict becomes a `lax.scan` over a functional
+KV cache; beam search follows the standard 2K-candidate scheme with
+`BeamHypotheses`-style length-penalized finished pools and early stopping.
+
+Conventions preserved from the reference:
+  * decoding starts from EOS (EOS-as-BOS, `transformer.py:1251-1254`)
+  * a sequence ends at the first generated EOS; finished rows keep decoding
+    but their outputs are frozen
+  * length penalty: score = logp / len^alpha (`BeamHypotheses.add`,
+    `transformer.py:1520-1535`)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from m3p_tpu.config import EOS_IDX, PAD_IDX
+
+NEG_INF = -1.0e7
+
+
+def _decode_step(model, params, tokens, positions, langs, src_enc, src_mask,
+                 cache):
+    """One incremental decoder step -> (logits (B, V), new_cache)."""
+    b = tokens.shape[0]
+    step_mask = jnp.ones((b, 1), bool)
+    hidden, cache = model.apply(
+        {"params": params}, tokens, step_mask, langs, positions, True,
+        src_enc, src_mask, cache, True, method=model.encode_text)
+    logits = model.apply({"params": params}, hidden[:, 0],
+                         method=model.word_logits)
+    return logits.astype(jnp.float32), cache
+
+
+def greedy_generate(
+    model,
+    params,
+    src_enc: jax.Array,            # (B, Ss, D)
+    src_mask: jax.Array,           # (B, Ss)
+    max_len: int,
+    tgt_lang_id: Optional[int] = None,
+    temperature: Optional[float] = None,
+    rng: Optional[jax.Array] = None,
+    eos_index: int = EOS_IDX,
+    pad_index: int = PAD_IDX,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy (or temperature-sampled) decoding.
+
+    Returns (tokens (B, max_len), lengths (B,)).  tokens[:, 0] == EOS
+    (the reference's EOS-as-BOS start convention)."""
+    b = src_enc.shape[0]
+    cache = model.apply({"params": params}, src_enc, max_len,
+                        method=model.init_decode_cache)
+    init_tokens = jnp.full((b, 1), eos_index, jnp.int32)
+
+    def body(carry, t):
+        tokens, finished, cache, key = carry
+        positions = jnp.full((b, 1), t, jnp.int32)
+        langs = (jnp.full((b, 1), tgt_lang_id, jnp.int32)
+                 if tgt_lang_id is not None else None)
+        logits, cache = _decode_step(model, params, tokens, positions, langs,
+                                     src_enc, src_mask, cache)
+        if temperature is not None:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(finished, pad_index, nxt).astype(jnp.int32)
+        finished = jnp.logical_or(finished, nxt == eos_index)
+        return (nxt[:, None], finished, cache, key), nxt
+
+    key = rng if rng is not None else jax.random.PRNGKey(0)
+    carry = (init_tokens, jnp.zeros((b,), bool), cache, key)
+    (_, finished, _, _), toks = jax.lax.scan(
+        body, carry, jnp.arange(max_len - 1))
+    toks = toks.T  # (B, max_len-1)
+    out = jnp.concatenate([jnp.full((b, 1), eos_index, jnp.int32), toks],
+                          axis=1)
+    # length = position of first generated EOS + 2 (leading EOS + final EOS),
+    # capped at max_len for unfinished rows
+    is_eos = out[:, 1:] == eos_index
+    first_eos = jnp.argmax(is_eos, axis=1)
+    has_eos = jnp.any(is_eos, axis=1)
+    lengths = jnp.where(has_eos, first_eos + 2, max_len)
+    return out, lengths
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+
+def _gather_beams(tree, beam_indices, batch_size, new_beam_size):
+    """Select beams: tree leaves are (B*K_old, ...) -> (B*K_new, ...)."""
+
+    def gather(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        xk = x.reshape(batch_size, -1, *x.shape[1:])
+        out = jnp.take_along_axis(
+            xk, beam_indices.reshape(batch_size, new_beam_size,
+                                     *([1] * (xk.ndim - 2))), axis=1)
+        return out.reshape(batch_size * new_beam_size, *x.shape[1:])
+
+    return jax.tree.map(gather, tree)
+
+
+def beam_search(
+    model,
+    params,
+    src_enc: jax.Array,            # (B, Ss, D)
+    src_mask: jax.Array,           # (B, Ss)
+    beam_size: int,
+    max_len: int,
+    tgt_lang_id: Optional[int] = None,
+    length_penalty: float = 1.0,
+    early_stopping: bool = False,
+    eos_index: int = EOS_IDX,
+    pad_index: int = PAD_IDX,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam search; returns the best hypothesis per row:
+    (tokens (B, max_len), lengths (B,)).
+
+    Scoring matches the reference: finished hypotheses are ranked by
+    sum-logp / len^alpha where len counts generated tokens incl. final EOS.
+    """
+    b = src_enc.shape[0]
+    k = beam_size
+    bk = b * k
+
+    # expand encoder state across beams
+    src_enc_k = jnp.repeat(src_enc, k, axis=0)
+    src_mask_k = jnp.repeat(src_mask, k, axis=0)
+
+    cache = model.apply({"params": params}, src_enc_k, max_len,
+                        method=model.init_decode_cache)
+
+    # beam 0 active, others -inf so step 1 picks distinct continuations
+    init_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1)), (b,))  # (BK,)
+    seqs = jnp.full((bk, max_len), pad_index, jnp.int32)
+    seqs = seqs.at[:, 0].set(eos_index)
+
+    fin_seqs = jnp.full((bk, max_len), pad_index, jnp.int32)
+    fin_scores = jnp.full((bk,), NEG_INF)
+    fin_lens = jnp.zeros((bk,), jnp.int32)
+
+    def body(carry, t):
+        seqs, logp, fin_seqs, fin_scores, fin_lens, cache = carry
+        cur_tok = jnp.take_along_axis(seqs, t[None].repeat(bk)[:, None],
+                                      axis=1)  # (BK, 1)
+        positions = jnp.full((bk, 1), t, jnp.int32)
+        langs = (jnp.full((bk, 1), tgt_lang_id, jnp.int32)
+                 if tgt_lang_id is not None else None)
+        logits, cache = _decode_step(model, params, cur_tok, positions, langs,
+                                     src_enc_k, src_mask_k, cache)
+        vocab = logits.shape[-1]
+        logprobs = jax.nn.log_softmax(logits, axis=-1)          # (BK, V)
+        cand = logp[:, None] + logprobs                          # (BK, V)
+        cand = cand.reshape(b, k * vocab)
+        top_logp, top_idx = jax.lax.top_k(cand, 2 * k)           # (B, 2K)
+        beam_idx = top_idx // vocab                               # (B, 2K)
+        tok_idx = (top_idx % vocab).astype(jnp.int32)            # (B, 2K)
+        is_eos = tok_idx == eos_index
+
+        # ---- finished pool update (EOS candidates) ----
+        gen_len = (t + 1).astype(jnp.float32)  # generated tokens incl. EOS
+        eos_scores = jnp.where(is_eos, top_logp / gen_len ** length_penalty,
+                               NEG_INF)                           # (B, 2K)
+        eos_src = _gather_beams({"s": seqs}, beam_idx, b, 2 * k)["s"]
+        eos_seqs = eos_src.reshape(b, 2 * k, max_len)
+        eos_seqs = eos_seqs.at[:, :, t + 1].set(
+            jnp.where(is_eos, eos_index, pad_index))
+        # merge (K old finished) + (2K new) and keep best K
+        merged_scores = jnp.concatenate(
+            [fin_scores.reshape(b, k), eos_scores], axis=1)       # (B, 3K)
+        merged_seqs = jnp.concatenate(
+            [fin_seqs.reshape(b, k, max_len), eos_seqs], axis=1)  # (B, 3K, L)
+        merged_lens = jnp.concatenate(
+            [fin_lens.reshape(b, k),
+             jnp.broadcast_to((t + 2)[None, None], (b, 2 * k)).astype(jnp.int32)],
+            axis=1)
+        best_scores, best_i = jax.lax.top_k(merged_scores, k)     # (B, K)
+        new_fin_seqs = jnp.take_along_axis(
+            merged_seqs, best_i[:, :, None], axis=1).reshape(bk, max_len)
+        new_fin_scores = best_scores.reshape(bk)
+        new_fin_lens = jnp.take_along_axis(merged_lens, best_i,
+                                           axis=1).reshape(bk)
+
+        # ---- alive beams: best K non-EOS among the 2K ----
+        alive_logp_cand = jnp.where(is_eos, NEG_INF, top_logp)    # (B, 2K)
+        alive_scores, alive_i = jax.lax.top_k(alive_logp_cand, k)  # (B, K)
+        sel_beam = jnp.take_along_axis(beam_idx, alive_i, axis=1)  # (B, K)
+        sel_tok = jnp.take_along_axis(tok_idx, alive_i, axis=1)    # (B, K)
+
+        gathered = _gather_beams({"seqs": seqs, "cache": cache}, sel_beam,
+                                 b, k)
+        new_seqs = gathered["seqs"].at[:, t + 1].set(sel_tok.reshape(bk))
+        new_cache = gathered["cache"]
+        new_logp = alive_scores.reshape(bk)
+
+        return (new_seqs, new_logp, new_fin_seqs, new_fin_scores,
+                new_fin_lens, new_cache), None
+
+    carry = (seqs, init_logp, fin_seqs, fin_scores, fin_lens, cache)
+    (seqs, logp, fin_seqs, fin_scores, fin_lens, _), _ = jax.lax.scan(
+        body, carry, jnp.arange(max_len - 1))
+
+    # force-finish still-alive beams at max length (reference
+    # `transformer.py:1487-1496`)
+    alive_scores = logp / float(max_len) ** length_penalty        # (BK,)
+    all_scores = jnp.concatenate(
+        [fin_scores.reshape(b, k), alive_scores.reshape(b, k)], axis=1)
+    all_seqs = jnp.concatenate(
+        [fin_seqs.reshape(b, k, max_len), seqs.reshape(b, k, max_len)],
+        axis=1)
+    all_lens = jnp.concatenate(
+        [fin_lens.reshape(b, k),
+         jnp.full((b, k), max_len, jnp.int32)], axis=1)
+    best = jnp.argmax(all_scores, axis=1)                         # (B,)
+    out = jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+    lens = jnp.take_along_axis(all_lens, best[:, None], axis=1)[:, 0]
+    return out, lens

@@ -256,6 +256,21 @@ class M3PModel(nn.Module):
             }
         return cache
 
+    def init_decode_cache(self, src_enc: jax.Array, max_len: int) -> Cache:
+        """Self-attention KV cache + precomputed cross-attention K/V over the
+        encoder output (the incremental-decode equivalent of the reference
+        cache reuse, `transformer.py:181-184`).  Precomputing here keeps the
+        scan carry structure fixed and avoids reprojecting the source K/V at
+        every decode step."""
+        b = src_enc.shape[0]
+        cache = self.init_cache(b, max_len)
+        for i, blk in enumerate(self.blocks):
+            attn = blk.encoder_attn
+            k = attn._split(attn.k_lin(src_enc))
+            v = attn._split(attn.v_lin(src_enc))
+            cache[f"layer_{i}"]["cross"] = {"k": k, "v": v}
+        return cache
+
     def __call__(self, tokens, text_mask, feats, locs, img_mask,
                  deterministic: bool = True):
         """Joint forward + ITM score — the canonical single entry used for

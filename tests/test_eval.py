@@ -1,0 +1,94 @@
+"""Retrieval grid eval, R@k, BLEU, CIDEr."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p_tpu.config import small_test_config
+from m3p_tpu.eval.bleu import corpus_bleu
+from m3p_tpu.eval.cider import cider_score
+from m3p_tpu.eval.retrieval import recall_at_k, retrieval_grid_scores
+from m3p_tpu.model import build_model
+
+
+def test_recall_at_k_perfect_and_random():
+    n_img, caps_per = 10, 5
+    n_cap = n_img * caps_per
+    cap_to_img = np.repeat(np.arange(n_img), caps_per)
+    # perfect scores: gold pairs get high score
+    scores = np.random.RandomState(0).randn(n_img, n_cap) * 0.01
+    for c in range(n_cap):
+        scores[cap_to_img[c], c] += 10.0
+    r = recall_at_k(scores, cap_to_img)
+    assert r["i2t_r1"] == 100.0 and r["t2i_r1"] == 100.0
+    assert r["mean_recall"] == 100.0
+    # inverted scores: R@1 should be very low
+    r_bad = recall_at_k(-scores, cap_to_img)
+    assert r_bad["t2i_r1"] < 20.0
+
+
+def test_retrieval_grid_scores_match_direct():
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    n_img, n_cap, S, R = 3, 4, 10, 8
+    cap_tokens = rng.randint(4, 500, (n_cap, S)).astype(np.int32)
+    cap_len = np.full(n_cap, S, np.int32)
+    feats = rng.randn(n_img, R, 2048).astype(np.float32)
+    locs = rng.rand(n_img, R, 5).astype(np.float32)
+    img_len = np.full(n_img, R, np.int32)
+
+    grid = retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
+                                 locs, img_len, chunk_size=5,
+                                 refine_image=False)
+    assert grid.shape == (n_img, n_cap)
+
+    # direct single-pair scoring must match the packed-chunk result
+    from m3p_tpu.model.transformer import lengths_to_mask
+    i, c = 2, 1
+    hidden = model.apply(
+        {"params": params}, jnp.asarray(cap_tokens[c:c+1]),
+        lengths_to_mask(jnp.asarray(cap_len[c:c+1]), S),
+        jnp.asarray(feats[i:i+1]), jnp.asarray(locs[i:i+1]),
+        lengths_to_mask(jnp.asarray(img_len[i:i+1]), R), False,
+        method=model.encode_joint)
+    direct = float(model.apply({"params": params}, hidden,
+                               method=model.itm_score)[0, 0])
+    np.testing.assert_allclose(grid[i, c], direct, atol=1e-4)
+
+
+def test_bleu_identity_and_orders():
+    hyps = ["the cat sat on the mat", "a dog runs fast"]
+    refs = [["the cat sat on the mat"], ["a dog runs fast"]]
+    assert corpus_bleu(hyps, refs) == pytest.approx(100.0)
+    worse = corpus_bleu(["the cat sat on a mat", "a dog runs fast"], refs)
+    assert 0 < worse < 100.0
+    assert corpus_bleu(["completely different words here now"],
+                       [["the cat sat on the mat"]]) == 0.0
+
+
+def test_bleu_brevity_penalty():
+    refs = [["the quick brown fox jumps over the lazy dog"]]
+    short = corpus_bleu(["the quick brown fox"], refs)
+    full = corpus_bleu(["the quick brown fox jumps over the lazy dog"], refs)
+    assert short < full
+
+
+def test_cider_identity_ranking():
+    # distinct reference sets per document so idf weights are non-degenerate
+    refs = [["a man riding a horse on the beach",
+             "a person rides a horse near the ocean"],
+            ["a red car parked on the street",
+             "a crimson automobile on the road"],
+            ["two birds flying over the mountains",
+             "birds soar above snowy peaks"]]
+    hyps_good = ["a man riding a horse on the beach",
+                 "a red car parked on the street",
+                 "two birds flying over the mountains"]
+    hyps_bad = ["completely unrelated text tokens"] * 3
+    good = cider_score(hyps_good, refs)
+    bad = cider_score(hyps_bad, refs)
+    assert good > bad
+    assert good > 1.0
+    assert bad == pytest.approx(0.0, abs=1e-6)

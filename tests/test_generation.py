@@ -1,0 +1,92 @@
+"""Greedy decoding and beam search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p_tpu.config import EOS_IDX, PAD_IDX, small_test_config
+from m3p_tpu.model import build_model
+from m3p_tpu.model.generation import beam_search, greedy_generate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    B, S = 3, 6
+    src_tokens = jnp.array(rng.randint(4, 500, (B, S)), jnp.int32)
+    src_mask = jnp.ones((B, S), bool)
+    src_enc, _ = model.apply({"params": params}, src_tokens, src_mask,
+                             method=model.encode_text)
+    return cfg, model, params, src_enc, src_mask
+
+
+def test_greedy_shapes_and_eos(setup):
+    cfg, model, params, src_enc, src_mask = setup
+    max_len = 12
+    toks, lens = greedy_generate(model, params, src_enc, src_mask, max_len,
+                                 tgt_lang_id=0)
+    assert toks.shape == (3, max_len)
+    assert bool(jnp.all(toks[:, 0] == EOS_IDX))
+    assert bool(jnp.all(lens >= 2)) and bool(jnp.all(lens <= max_len))
+    # after the first generated EOS everything must be PAD
+    t = np.asarray(toks)
+    l = np.asarray(lens)
+    for i in range(3):
+        if l[i] < max_len:
+            assert (t[i, l[i]:] == PAD_IDX).all()
+
+
+def test_greedy_matches_manual_argmax_decode(setup):
+    """Greedy with cache must equal step-by-step argmax with full recompute."""
+    cfg, model, params, src_enc, src_mask = setup
+    max_len = 8
+    toks, _ = greedy_generate(model, params, src_enc, src_mask, max_len,
+                              tgt_lang_id=0)
+    # manual: full causal re-encode each step, no cache
+    b = src_enc.shape[0]
+    cur = jnp.full((b, 1), EOS_IDX, jnp.int32)
+    finished = np.zeros(b, bool)
+    manual = [cur]
+    for t in range(max_len - 1):
+        seq = jnp.concatenate(manual, axis=1)
+        langs = jnp.zeros_like(seq)
+        dec, _ = model.apply({"params": params}, seq,
+                             jnp.ones_like(seq, dtype=bool), langs, None,
+                             True, src_enc, src_mask,
+                             method=model.encode_text)
+        logits = model.apply({"params": params}, dec[:, -1],
+                             method=model.word_logits)
+        nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        nxt[finished] = PAD_IDX
+        finished |= nxt == EOS_IDX
+        manual.append(jnp.asarray(nxt)[:, None])
+    manual_seq = np.asarray(jnp.concatenate(manual, axis=1))
+    np.testing.assert_array_equal(np.asarray(toks), manual_seq)
+
+
+def test_beam_search_runs_and_beats_greedy(setup):
+    cfg, model, params, src_enc, src_mask = setup
+    max_len = 10
+    toks, lens = beam_search(model, params, src_enc, src_mask, beam_size=3,
+                             max_len=max_len, tgt_lang_id=0,
+                             length_penalty=1.0)
+    assert toks.shape == (3, max_len)
+    assert bool(jnp.all(toks[:, 0] == EOS_IDX))
+    assert bool(jnp.all(lens >= 2)) and bool(jnp.all(lens <= max_len))
+
+
+def test_beam_size_one_close_to_greedy(setup):
+    """beam=1 must produce the same tokens as greedy up to each row's EOS."""
+    cfg, model, params, src_enc, src_mask = setup
+    max_len = 8
+    g, gl = greedy_generate(model, params, src_enc, src_mask, max_len,
+                            tgt_lang_id=0)
+    bm, bl = beam_search(model, params, src_enc, src_mask, beam_size=1,
+                         max_len=max_len, tgt_lang_id=0)
+    g, bm = np.asarray(g), np.asarray(bm)
+    for i in range(g.shape[0]):
+        n = min(int(gl[i]), int(bl[i]))
+        np.testing.assert_array_equal(g[i, :n], bm[i, :n])
