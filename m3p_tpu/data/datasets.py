@@ -1,0 +1,446 @@
+"""Datasets: candidate-grid samplers and batch iterators for every task family.
+
+Capability parity with the reference data layer (SURVEY.md §2.1, L4) —
+`dataset_finetune.py` (RetrievalDataset/CaptionDataset), `dataset_pretrain.py`
+(VLMPretrain*Dataset incl. per-epoch shard schedule, MCT, CLCM pairs),
+`NTG_xlm_based.py`, `MT_finetune.py`, `SLIDE_finetune.py`, and the stream
+dataset (`dataset_pretrain.py:787-891`) — redesigned as plain-Python iterators
+over numpy batches with explicit seeded RNG (no forked DataLoader workers; the
+device prefetcher in `m3p_tpu.data.pipeline` overlaps host work with TPU
+steps).
+
+All iterators emit fixed-shape batches matching `m3p_tpu.train.steps` layouts.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from m3p_tpu.config import BOS_IDX, EOS_IDX, PAD_IDX
+from m3p_tpu.data.clag import Clager
+from m3p_tpu.data.features import RegionFeatureStore
+from m3p_tpu.tokenization.tokenizer import batch_sentences
+
+Batch = Dict[str, np.ndarray]
+
+
+def _encode_padded(tokenizer, texts: Sequence[str], max_len: int,
+                   lang_ids: Optional[Sequence[int]] = None):
+    ids = tokenizer.encode_batch(texts, max_ids=max_len - 2)
+    return batch_sentences(ids, max_len=max_len, lang_ids=lang_ids)
+
+
+class RetrievalDataset:
+    """Fine-tune image-text retrieval with t2i/i2t candidate grids.
+
+    Reference semantics (`dataset_finetune.py:299-703`): per epoch each image
+    contributes one of its captions (resampled per epoch, `update_captions`);
+    a t2i item is (1 caption, sample_n images with 1 positive), an i2t item is
+    (1 image, sample_n captions with 1 positive); positions of positives are
+    uniform; optional MCT via `clager.clag`.
+    """
+
+    def __init__(
+        self,
+        captions: Dict[str, List[str]],      # image_id -> caption list
+        store: RegionFeatureStore,
+        tokenizer,
+        lang: str = "en",
+        sample_n: int = 4,
+        max_len: int = 64,
+        clager: Optional[Clager] = None,
+        seed: int = 0,
+    ):
+        self.captions = captions
+        self.store = store
+        self.tokenizer = tokenizer
+        self.lang = lang
+        self.sample_n = sample_n
+        self.max_len = max_len
+        self.clager = clager
+        self.seed = seed
+        self.image_ids = [i for i in captions.keys()]
+
+    def __len__(self) -> int:
+        return len(self.image_ids)
+
+    def _grid_batch(self, rng, anchor_ids: List[str], direction: str) -> Batch:
+        """Build a grid-flattened batch for ``direction`` in {t2i, i2t}."""
+        n = self.sample_n
+        b = len(anchor_ids)
+        texts: List[str] = []
+        img_indices: List[int] = []
+        pos_label = rng.randint(0, n, size=b).astype(np.int32)
+        for gi, img_id in enumerate(anchor_ids):
+            caps = self.captions[img_id]
+            cap = caps[rng.randint(len(caps))]
+            if self.clager is not None:
+                cap = self.clager.clag(rng, cap, self.lang)
+            negatives = [self.image_ids[rng.randint(len(self.image_ids))]
+                         for _ in range(n)]
+            for slot in range(n):
+                if direction == "t2i":
+                    # same caption, candidate images
+                    texts.append(cap)
+                    cand = img_id if slot == pos_label[gi] else negatives[slot]
+                    img_indices.append(self.store.index_of(cand))
+                else:
+                    # same image, candidate captions
+                    if slot == pos_label[gi]:
+                        texts.append(cap)
+                    else:
+                        neg_caps = self.captions[negatives[slot]]
+                        neg = neg_caps[rng.randint(len(neg_caps))]
+                        if self.clager is not None:
+                            neg = self.clager.clag(rng, neg, self.lang)
+                        texts.append(neg)
+                    img_indices.append(self.store.index_of(img_id))
+        tokens, lengths, _ = _encode_padded(self.tokenizer, texts,
+                                            self.max_len)
+        region = [self.store.get(i) for i in img_indices]
+        return {
+            "tokens": tokens,
+            "text_len": lengths,
+            "feats": np.stack([r["feats"] for r in region]),
+            "raw_feats": np.stack([r["raw_feats"] for r in region]),
+            "obj_labels": np.stack([r["objects"] for r in region]),
+            "locs": np.stack([r["locs"] for r in region]),
+            "img_len": np.array([r["mask"].sum() for r in region], np.int32),
+            "pos_label": pos_label,
+        }
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Tuple[Batch, Batch]]:
+        rng = np.random.RandomState(self.seed + epoch)
+        order = rng.permutation(len(self.image_ids))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            ids = [self.image_ids[i] for i in order[start:start + batch_size]]
+            yield (self._grid_batch(rng, ids, "t2i"),
+                   self._grid_batch(rng, ids, "i2t"))
+
+
+class PretrainDataset(RetrievalDataset):
+    """Pre-training over sharded CC/SBU-style corpora with MCT and CLCM.
+
+    Adds the reference shard schedule (`dataset_pretrain.py:210-226`): a
+    ``train_order`` table maps epoch -> shard per data-parallel feeder;
+    ``update(epoch, feeder)`` switches the active shard.  Items use
+    `clager.dclag` (positives/negatives by code-switch substitution) and i2t
+    batches add CLCM concat-caption pairs (`sample_captions`,
+    `dataset_pretrain.py:412-497`).
+    """
+
+    def __init__(self, shards: Sequence[RegionFeatureStore],
+                 captions_per_shard: Sequence[Dict[str, List[str]]],
+                 tokenizer, train_order: Optional[Sequence[Sequence[int]]] = None,
+                 n_feeders: int = 1, feeder_id: int = 0, **kw):
+        self.shards = list(shards)
+        self.captions_per_shard = list(captions_per_shard)
+        self.train_order = train_order
+        self.n_feeders = n_feeders
+        self.feeder_id = feeder_id
+        super().__init__(captions_per_shard[0], shards[0], tokenizer, **kw)
+        self.update(0)
+
+    def update(self, epoch: int) -> None:
+        if self.train_order is not None:
+            row = self.train_order[epoch % len(self.train_order)]
+            shard_idx = row[self.feeder_id % len(row)]
+        else:
+            shard_idx = (epoch * self.n_feeders + self.feeder_id) \
+                % len(self.shards)
+        self.store = self.shards[shard_idx]
+        self.captions = self.captions_per_shard[shard_idx]
+        self.image_ids = list(self.captions.keys())
+
+    def _grid_batch(self, rng, anchor_ids: List[str], direction: str) -> Batch:
+        """Pretrain i2t grids use `dclag` code-switch variants of ONE caption
+        as the candidates — the positive slot gets a true code-switched
+        translation, negative slots get corrupted substitutions
+        (`dataset_pretrain.py:363, sample_captions`).  t2i keeps the
+        different-image candidate semantics of the parent."""
+        if direction == "t2i" or self.clager is None:
+            return super()._grid_batch(rng, anchor_ids, direction)
+        n = self.sample_n
+        b = len(anchor_ids)
+        pos_label = rng.randint(0, n, size=b).astype(np.int32)
+        texts: List[str] = []
+        img_indices: List[int] = []
+        for gi, img_id in enumerate(anchor_ids):
+            caps = self.captions[img_id]
+            cap = caps[rng.randint(len(caps))]
+            variants = self.clager.dclag(rng, cap, self.lang, 1, n - 1)
+            pos_variant, neg_variants = variants[0], variants[1:]
+            vi = 0
+            for slot in range(n):
+                if slot == pos_label[gi]:
+                    texts.append(pos_variant)
+                else:
+                    texts.append(neg_variants[vi])
+                    vi += 1
+                img_indices.append(self.store.index_of(img_id))
+        tokens, lengths, _ = _encode_padded(self.tokenizer, texts,
+                                            self.max_len)
+        region = [self.store.get(i) for i in img_indices]
+        return {
+            "tokens": tokens,
+            "text_len": lengths,
+            "feats": np.stack([r["feats"] for r in region]),
+            "raw_feats": np.stack([r["raw_feats"] for r in region]),
+            "obj_labels": np.stack([r["objects"] for r in region]),
+            "locs": np.stack([r["locs"] for r in region]),
+            "img_len": np.array([r["mask"].sum() for r in region], np.int32),
+            "pos_label": pos_label,
+        }
+
+    def pretrain_batch(self, rng, anchor_ids: List[str], direction: str,
+                       with_clcm: bool = False) -> Batch:
+        # _grid_batch already carries per-row obj_labels + raw_feats for
+        # MC-MRM / MRFR; MCT for pretraining uses dclag variants below
+        batch = self._grid_batch(rng, anchor_ids, direction)
+        n = self.sample_n
+        if with_clcm:
+            texts, labels = [], []
+            ids = list(self.captions.keys())
+            for img_id in anchor_ids:
+                caps = self.captions[img_id]
+                a = caps[rng.randint(len(caps))]
+                for _ in range(n):
+                    if rng.random_sample() < 0.5:
+                        b = self.captions[ids[rng.randint(len(ids))]]
+                        other = b[rng.randint(len(b))]
+                        labels.append(0)
+                    else:
+                        other = caps[rng.randint(len(caps))]
+                        labels.append(1)
+                    texts.append(a + " " + other)
+            toks, lens, _ = _encode_padded(self.tokenizer, texts,
+                                           2 * self.max_len)
+            batch["clcm_tokens"] = toks
+            batch["clcm_len"] = lens
+            batch["clcm_labels"] = np.array(labels, np.int32)
+        return batch
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0,
+                       with_clcm: bool = False):
+        self.update(epoch)
+        rng = np.random.RandomState(self.seed + epoch)
+        order = rng.permutation(len(self.image_ids))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            ids = [self.image_ids[i] for i in order[start:start + batch_size]]
+            yield (self.pretrain_batch(rng, ids, "t2i"),
+                   self.pretrain_batch(rng, ids, "i2t", with_clcm=with_clcm))
+
+
+class CaptionDataset:
+    """(caption, image) pairs for captioning / tifg (`dataset_finetune.py:
+    32-297`)."""
+
+    def __init__(self, captions: Dict[str, List[str]],
+                 store: RegionFeatureStore, tokenizer, lang: str = "en",
+                 max_len: int = 64, clager: Optional[Clager] = None,
+                 seed: int = 0):
+        self.captions = captions
+        self.store = store
+        self.tokenizer = tokenizer
+        self.lang = lang
+        self.max_len = max_len
+        self.clager = clager
+        self.seed = seed
+        self.items: List[Tuple[str, str]] = [
+            (img_id, cap) for img_id, caps in captions.items()
+            for cap in caps]
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed + epoch)
+        order = rng.permutation(len(self.items))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            img_ids, texts = [], []
+            for i in order[start:start + batch_size]:
+                img_id, cap = self.items[i]
+                if self.clager is not None:
+                    cap = self.clager.clag(rng, cap, self.lang)
+                img_ids.append(img_id)
+                texts.append(cap)
+            tokens, lengths, _ = _encode_padded(self.tokenizer, texts,
+                                                self.max_len)
+            region = [self.store.get(self.store.index_of(i)) for i in img_ids]
+            yield {
+                "tokens": tokens,
+                "tgt_len": lengths,
+                "feats": np.stack([r["feats"] for r in region]),
+                "locs": np.stack([r["locs"] for r in region]),
+                "img_len": np.array([r["mask"].sum() for r in region],
+                                    np.int32),
+            }
+
+
+class StreamDataset:
+    """XLM-style continuous token stream reshaped to (bs, bptt) blocks with a
+    resumable shuffled iterator (`dataset_pretrain.py:787-891`)."""
+
+    def __init__(self, token_stream: np.ndarray, bptt: int = 128,
+                 seed: int = 0, n_feeders: int = 1, feeder_id: int = 0):
+        stream = np.asarray(token_stream, np.int32).reshape(-1)
+        n_blocks = len(stream) // bptt
+        self.blocks = stream[: n_blocks * bptt].reshape(n_blocks, bptt)
+        # per-feeder subselect (`loader.py:409-413`)
+        self.blocks = self.blocks[feeder_id::n_feeders]
+        self.bptt = bptt
+        self.seed = seed
+        self.position = 0  # resumable cursor (reload counter equivalent)
+
+    def __len__(self) -> int:
+        return len(self.blocks)
+
+    def state_dict(self) -> Dict[str, int]:
+        return {"position": self.position}
+
+    def load_state_dict(self, state: Dict[str, int]) -> None:
+        self.position = int(state["position"])
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed + epoch)
+        order = rng.permutation(len(self.blocks))
+        while self.position + batch_size <= len(order):
+            idx = order[self.position:self.position + batch_size]
+            self.position += batch_size
+            yield {
+                "tokens": self.blocks[idx],
+                "lengths": np.full((batch_size,), self.bptt, np.int32),
+            }
+        self.position = 0
+
+
+class ParallelDataset:
+    """Src/tgt sentence pairs for MT and NTG, length-grouped batching
+    (`MT_finetune.py`, `NTG_xlm_based.py:23-173`)."""
+
+    def __init__(self, src_texts: Sequence[str], tgt_texts: Sequence[str],
+                 tokenizer, max_len: int = 64, seed: int = 0,
+                 src_lang_id: Optional[int] = None,
+                 tgt_lang_id: Optional[int] = None,
+                 store: Optional[RegionFeatureStore] = None,
+                 image_ids: Optional[Sequence[str]] = None):
+        assert len(src_texts) == len(tgt_texts)
+        self.src_texts = list(src_texts)
+        self.tgt_texts = list(tgt_texts)
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.seed = seed
+        self.src_lang_id = src_lang_id
+        self.tgt_lang_id = tgt_lang_id
+        self.store = store              # set -> multimodal MT triples
+        self.image_ids = list(image_ids) if image_ids is not None else None
+
+    def __len__(self) -> int:
+        return len(self.src_texts)
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed + epoch)
+        # length-grouped then shuffled in chunks (NTG convention)
+        order = np.argsort([len(s) for s in self.src_texts], kind="stable")
+        n_batches = len(order) // batch_size
+        batch_order = rng.permutation(n_batches)
+        for bi in batch_order:
+            idx = order[bi * batch_size:(bi + 1) * batch_size]
+            src = [self.src_texts[i] for i in idx]
+            tgt = [self.tgt_texts[i] for i in idx]
+            s_toks, s_len, s_langs = _encode_padded(
+                self.tokenizer, src, self.max_len,
+                [self.src_lang_id] * len(idx)
+                if self.src_lang_id is not None else None)
+            t_toks, t_len, t_langs = _encode_padded(
+                self.tokenizer, tgt, self.max_len,
+                [self.tgt_lang_id] * len(idx)
+                if self.tgt_lang_id is not None else None)
+            batch = {"src_tokens": s_toks, "src_len": s_len,
+                     "tgt_tokens": t_toks, "tgt_len": t_len}
+            if s_langs is not None:
+                batch["src_langs"] = s_langs
+            if t_langs is not None:
+                batch["tgt_langs"] = t_langs
+            if self.store is not None:
+                region = [self.store.get(self.store.index_of(
+                    self.image_ids[i])) for i in idx]
+                batch["feats"] = np.stack([r["feats"] for r in region])
+                batch["locs"] = np.stack([r["locs"] for r in region])
+                batch["img_len"] = np.array(
+                    [r["mask"].sum() for r in region], np.int32)
+            yield batch
+
+
+class SlideDataset:
+    """Slide-text matching with explicit pos/neg pools and binary labels
+    (`SLIDE_finetune.py:32-259`)."""
+
+    def __init__(self, items: Sequence[Tuple[str, str, int]],
+                 store: RegionFeatureStore, tokenizer, max_len: int = 64,
+                 seed: int = 0):
+        """items: (image_id, text, label) triples."""
+        self.items = list(items)
+        self.store = store
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed + epoch)
+        order = rng.permutation(len(self.items))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[start:start + batch_size]
+            texts = [self.items[i][1] for i in idx]
+            tokens, lengths, _ = _encode_padded(self.tokenizer, texts,
+                                                self.max_len)
+            region = [self.store.get(self.store.index_of(self.items[i][0]))
+                      for i in idx]
+            yield {
+                "tokens": tokens,
+                "text_len": lengths,
+                "feats": np.stack([r["feats"] for r in region]),
+                "locs": np.stack([r["locs"] for r in region]),
+                "img_len": np.array([r["mask"].sum() for r in region],
+                                    np.int32),
+                "labels": np.array([self.items[i][2] for i in idx], np.int32),
+            }
+
+
+def build_eval_retrieval_arrays(
+    captions: Dict[str, List[str]],
+    store: RegionFeatureStore,
+    tokenizer,
+    max_len: int = 64,
+    caps_per_image: int = 5,
+):
+    """Flatten an eval split into the arrays `retrieval_grid_scores` consumes:
+    (cap_tokens, cap_len, cap_to_img, img_feats, img_locs, img_len).
+
+    Mirrors `EvaluateRetrievalDataset.precess_reload`
+    (`dataset_finetune.py:1078-1178`): all captions of all images, gold
+    mapping caption -> image index.
+    """
+    image_ids = list(captions.keys())
+    texts, cap_to_img = [], []
+    for i, img_id in enumerate(image_ids):
+        for cap in captions[img_id][:caps_per_image]:
+            texts.append(cap)
+            cap_to_img.append(i)
+    toks, lens, _ = _encode_padded(tokenizer, texts, max_len)
+    region = [store.get(store.index_of(i)) for i in image_ids]
+    return (toks, lens, np.array(cap_to_img, np.int64),
+            np.stack([r["feats"] for r in region]),
+            np.stack([r["locs"] for r in region]),
+            np.array([r["mask"].sum() for r in region], np.int32))

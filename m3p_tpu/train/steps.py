@@ -146,6 +146,11 @@ def mct_pretrain_loss(
 
     masked_feats, pos_r, lab_r, w_r, tgt_r = mask_regions(
         r_img, batch["feats"], batch["obj_labels"], img_mask, mask_cfg)
+    if "raw_feats" in batch:
+        # MRFR regresses the ORIGINAL (un-normalized) region features
+        # (`xtrainer.py:2332-2352` uses ori_att_feats)
+        tgt_r = jnp.take_along_axis(batch["raw_feats"], pos_r[..., None],
+                                    axis=1)
     w_r = w_r * (1.0 - coin)[:, None]
     masked_feats = jnp.where((coin < 1)[:, None, None], masked_feats,
                              batch["feats"])

@@ -1,0 +1,164 @@
+"""Data layer: feature store, Clager, datasets, prefetch pipeline."""
+
+import numpy as np
+import pytest
+
+from m3p_tpu.data.clag import Clager, load_bilingual_dict
+from m3p_tpu.data.datasets import (
+    CaptionDataset, ParallelDataset, PretrainDataset, RetrievalDataset,
+    SlideDataset, StreamDataset, build_eval_retrieval_arrays)
+from m3p_tpu.data.features import (
+    RegionFeatureStore, l2_normalize, norm_boxes, write_feature_shard)
+from m3p_tpu.data.pipeline import prefetch_to_device
+from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+from m3p_tpu.tokenization.unigram import train_unigram
+
+WORDS = ["red", "cat", "dog", "tree", "house", "runs", "blue", "small"]
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    corpus = [" ".join(np.random.RandomState(i).choice(WORDS, 6))
+              for i in range(50)]
+    path = str(tmp_path_factory.mktemp("tok") / "model.tsv")
+    train_unigram(corpus, vocab_size=120).save(path)
+    return XLMRTokenizer(path)
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    n, r = 12, 8
+    path = str(tmp_path_factory.mktemp("h5") / "shard0.h5")
+    write_feature_shard(
+        path,
+        features=rng.randn(n, r, 2048).astype(np.float32),
+        boxes=np.abs(rng.rand(n, r, 4).astype(np.float32)) * 100,
+        num_boxes=np.full(n, r, np.int64),
+        wh=np.full((n, 2), 224, np.float32),
+        image_ids=[f"img{i}" for i in range(n)],
+        objects=rng.randint(0, 1600, (n, r)),
+    )
+    return RegionFeatureStore(path, max_region_num=r)
+
+
+@pytest.fixture(scope="module")
+def captions(store):
+    rng = np.random.RandomState(1)
+    return {img_id: [" ".join(rng.choice(WORDS, 5)) for _ in range(3)]
+            for img_id in store.image_ids}
+
+
+def test_norm_boxes_unit_norm():
+    boxes = np.array([[10.0, 20.0, 110.0, 120.0]])
+    out = norm_boxes(boxes, 224.0, 224.0)
+    assert out.shape == (1, 5)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-6)
+    assert out[0, 4] > 0  # area fraction
+
+
+def test_feature_store(store):
+    item = store.get(0)
+    assert item["feats"].shape == (8, 2048)
+    np.testing.assert_allclose(
+        np.linalg.norm(item["feats"], axis=-1), 1.0, atol=1e-4)
+    assert item["raw_feats"].shape == (8, 2048)
+    assert not np.allclose(item["raw_feats"], item["feats"])
+    assert item["mask"].sum() == 8
+    assert store.index_of("img3") == 3
+
+
+def test_clager(tmp_path):
+    d = tmp_path / "en-de.txt"
+    d.write_text("cat katze\ncat mieze\ndog hund\n")
+    lex = load_bilingual_dict(str(d), "en", "de")
+    assert set(lex["en"]["cat"]["de"]) == {"katze", "mieze"}
+    assert lex["de"]["hund"]["en"] == ["dog"]
+    clager = Clager(lex, sent_ratio=1.0, word_ratio=1.0)
+    rng = np.random.RandomState(0)
+    out = clager.clag(rng, "the cat sees the dog", "en")
+    toks = out.split()
+    assert toks[1] in ("katze", "mieze") and toks[4] == "hund"
+    # sent_ratio=0 -> identity
+    assert Clager(lex, 0.0, 1.0).clag(rng, "the cat", "en") == "the cat"
+    # dclag: pos+neg variants, same length
+    variants = clager.dclag(rng, "the cat runs", "en", 2, 3)
+    assert len(variants) == 5
+    assert all(len(v.split()) == 3 for v in variants)
+
+
+def test_retrieval_dataset_grid(tokenizer, store, captions):
+    ds = RetrievalDataset(captions, store, tokenizer, sample_n=3, max_len=16)
+    t2i, i2t = next(ds.epoch_iterator(batch_size=2, epoch=0))
+    for b in (t2i, i2t):
+        assert b["tokens"].shape == (6, 16)
+        assert b["feats"].shape == (6, 8, 2048)
+        assert b["pos_label"].shape == (2,)
+        assert (b["pos_label"] < 3).all()
+    # t2i: caption identical within a group, images differ
+    assert (t2i["tokens"][0] == t2i["tokens"][1]).all()
+    # i2t: image identical within a group
+    np.testing.assert_array_equal(i2t["feats"][0], i2t["feats"][1])
+
+
+def test_pretrain_dataset_shards_and_clcm(tokenizer, store, captions):
+    ds = PretrainDataset([store, store], [captions, captions], tokenizer,
+                         sample_n=2, max_len=16)
+    t2i, i2t = next(ds.epoch_iterator(batch_size=2, epoch=0, with_clcm=True))
+    assert "obj_labels" in t2i and t2i["obj_labels"].shape == (4, 8)
+    assert "raw_feats" in t2i
+    assert "clcm_tokens" in i2t and i2t["clcm_tokens"].shape[0] == 4
+    assert set(np.unique(i2t["clcm_labels"])) <= {0, 1}
+    ds.update(1)  # shard switch must not crash
+
+
+def test_caption_and_stream_and_parallel(tokenizer, store, captions):
+    cap = CaptionDataset(captions, store, tokenizer, max_len=16)
+    b = next(cap.epoch_iterator(batch_size=4))
+    assert b["tokens"].shape == (4, 16) and b["feats"].shape[0] == 4
+
+    stream = StreamDataset(np.arange(1000) % 50 + 4, bptt=16)
+    sb = next(stream.epoch_iterator(batch_size=4))
+    assert sb["tokens"].shape == (4, 16)
+    # resumable position
+    state = stream.state_dict()
+    assert state["position"] == 4
+
+    par = ParallelDataset(["red cat"] * 8, ["blue dog"] * 8, tokenizer,
+                          max_len=12, src_lang_id=0, tgt_lang_id=1)
+    pb = next(par.epoch_iterator(batch_size=4))
+    assert pb["src_tokens"].shape == (4, 12)
+    assert (pb["src_langs"] == 0).all() and (pb["tgt_langs"] == 1).all()
+
+
+def test_slide_dataset(tokenizer, store):
+    items = [(f"img{i}", "red cat runs", i % 2) for i in range(8)]
+    ds = SlideDataset(items, store, tokenizer, max_len=12)
+    b = next(ds.epoch_iterator(batch_size=4))
+    assert b["labels"].shape == (4,)
+
+
+def test_eval_arrays(tokenizer, store, captions):
+    toks, lens, cap_to_img, feats, locs, img_len = \
+        build_eval_retrieval_arrays(captions, store, tokenizer, max_len=16,
+                                    caps_per_image=3)
+    assert toks.shape[0] == 12 * 3
+    assert feats.shape[0] == 12
+    assert (cap_to_img[:3] == 0).all() and (cap_to_img[3:6] == 1).all()
+
+
+def test_prefetcher(tokenizer, store, captions):
+    cap = CaptionDataset(captions, store, tokenizer, max_len=16)
+    it = prefetch_to_device(cap.epoch_iterator(batch_size=4))
+    batches = list(it)
+    assert len(batches) >= 1
+    assert batches[0]["tokens"].shape == (4, 16)
+
+
+def test_determinism(tokenizer, store, captions):
+    ds = RetrievalDataset(captions, store, tokenizer, sample_n=2, max_len=16,
+                          seed=7)
+    a1, _ = next(ds.epoch_iterator(batch_size=2, epoch=3))
+    a2, _ = next(ds.epoch_iterator(batch_size=2, epoch=3))
+    np.testing.assert_array_equal(a1["tokens"], a2["tokens"])
+    np.testing.assert_array_equal(a1["pos_label"], a2["pos_label"])
