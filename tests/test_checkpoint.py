@@ -1,0 +1,230 @@
+"""Checkpoint conversion parity + Orbax save/restore round-trip.
+
+The parity test builds an independent torch "golden" model that follows the
+reference forward semantics and PARAMETER NAMING (`transformer.py:610-968`),
+converts its state dict with `convert_reference_state_dict`, and asserts the
+JAX model reproduces its activations on the joint [img; text] forward and the
+ITM/word heads — the checkpoint-compatibility anchor (SURVEY.md §7 hard parts).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from m3p_tpu.checkpoint import (
+    average_checkpoints, convert_reference_state_dict, merge_params,
+    restore_checkpoint, save_checkpoint)
+from m3p_tpu.config import small_test_config
+from m3p_tpu.model import build_model
+
+DIM, HEADS, LAYERS, VOCAB, NPOS = 64, 4, 2, 512, 514
+
+
+class GoldenM3P(nn.Module):
+    """Reference-semantics torch model with reference parameter names."""
+
+    def __init__(self):
+        super().__init__()
+        self.embeddings = nn.Embedding(VOCAB, DIM, padding_idx=1)
+        self.position_embeddings = nn.Embedding(NPOS, DIM)
+        self.cross_lang_embeddings = nn.Embedding(3, DIM)
+        self.layer_norm_emb = nn.LayerNorm(DIM, eps=1e-12)
+
+        class ImageEmb(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.image_embeddings = nn.Linear(2048, DIM)
+                self.image_location_embeddings = nn.Linear(5, DIM)
+                self.image_distbution_embeddings = nn.Linear(1600, DIM)
+                self.LayerNorm = nn.LayerNorm(DIM, eps=1e-12)
+
+            def forward(self, feats, locs):
+                x = self.image_embeddings(feats) \
+                    + self.image_location_embeddings(locs)
+                return self.LayerNorm(x)
+
+        self.image_embeddings = ImageEmb()
+
+        class MHA(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.q_lin = nn.Linear(DIM, DIM)
+                self.k_lin = nn.Linear(DIM, DIM)
+                self.v_lin = nn.Linear(DIM, DIM)
+                self.out_lin = nn.Linear(DIM, DIM)
+
+            def forward(self, x, mask):
+                b, s, _ = x.shape
+                dh = DIM // HEADS
+
+                def shape(t):
+                    return t.view(b, s, HEADS, dh).transpose(1, 2)
+
+                q = shape(self.q_lin(x)) / math.sqrt(dh)
+                k = shape(self.k_lin(x))
+                v = shape(self.v_lin(x))
+                scores = q @ k.transpose(2, 3)
+                neg = -float("inf")
+                scores = scores.masked_fill(
+                    (mask == 0).view(b, 1, 1, s), neg)
+                w = F.softmax(scores.float(), dim=-1).type_as(scores)
+                ctx = (w @ v).transpose(1, 2).reshape(b, s, DIM)
+                return self.out_lin(ctx)
+
+        class FFN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin1 = nn.Linear(DIM, 4 * DIM)
+                self.lin2 = nn.Linear(4 * DIM, DIM)
+
+            def forward(self, x):
+                h = self.lin1(x)
+                h = 0.5 * h * (1.0 + torch.erf(h / math.sqrt(2.0)))
+                return self.lin2(h)
+
+        self.attentions = nn.ModuleList([MHA() for _ in range(LAYERS)])
+        self.layer_norm1 = nn.ModuleList(
+            [nn.LayerNorm(DIM, eps=1e-12) for _ in range(LAYERS)])
+        self.ffns = nn.ModuleList([FFN() for _ in range(LAYERS)])
+        self.layer_norm2 = nn.ModuleList(
+            [nn.LayerNorm(DIM, eps=1e-12) for _ in range(LAYERS)])
+
+        class Pooler(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.dense = nn.Linear(DIM, DIM)
+
+            def forward(self, h):
+                return torch.tanh(self.dense(h[:, 0]))
+
+        self.pooled_layer = Pooler()
+        self.seq_relationship = nn.Linear(DIM, 1)
+
+        class PredLayer(nn.Module):
+            def __init__(self, emb):
+                super().__init__()
+                self.proj = nn.Linear(DIM, VOCAB)
+                self.proj.weight = emb.weight  # tied
+
+        self.pred_layer = PredLayer(self.embeddings)
+
+    def jointfwd(self, x, feats, locs, mask):
+        img = self.image_embeddings(feats, locs)
+        txt = self.embeddings(x)
+        t = torch.cat([img, txt], dim=1)
+        s = t.shape[1]
+        positions = torch.arange(s).unsqueeze(0)
+        t = t + self.position_embeddings(positions)
+        t = t * mask.unsqueeze(-1).float()
+        t = self.layer_norm_emb(t)
+        for i in range(LAYERS):
+            attn = self.attentions[i](t, mask)
+            t = self.layer_norm1[i](t + attn)
+            t = self.layer_norm2[i](t + self.ffns[i](t))
+            t = t * mask.unsqueeze(-1).float()
+        return t
+
+    def itm(self, hidden):
+        return self.seq_relationship(self.pooled_layer(hidden))
+
+    def word_scores(self, hidden):
+        return self.pred_layer.proj(hidden)
+
+
+@pytest.fixture(scope="module")
+def converted():
+    torch.manual_seed(0)
+    golden = GoldenM3P().eval()
+    cfg = small_test_config().model
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    loaded = convert_reference_state_dict(sd, n_layers=LAYERS,
+                                          refine_layers=1)
+    params = merge_params(params, loaded)
+    return golden, cfg, model, params
+
+
+def test_joint_forward_parity(converted):
+    golden, cfg, model, params = converted
+    rng = np.random.RandomState(0)
+    B, S, R = 2, 10, 8
+    x = rng.randint(4, VOCAB, (B, S))
+    feats = rng.randn(B, R, 2048).astype(np.float32)
+    locs = rng.rand(B, R, 5).astype(np.float32)
+
+    with torch.no_grad():
+        mask = torch.ones(B, R + S)
+        h_t = golden.jointfwd(torch.from_numpy(x), torch.from_numpy(feats),
+                              torch.from_numpy(locs), mask)
+        itm_t = golden.itm(h_t).numpy()
+        w_t = golden.word_scores(h_t[:, R:]).numpy()
+
+    h_j = model.apply({"params": params}, jnp.asarray(x),
+                      jnp.ones((B, S), bool), jnp.asarray(feats),
+                      jnp.asarray(locs), jnp.ones((B, R), bool),
+                      method=model.encode_joint)
+    itm_j = model.apply({"params": params}, h_j, method=model.itm_score)
+    w_j = model.apply({"params": params}, h_j[:, R:],
+                      method=model.word_logits)
+
+    np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(itm_j), itm_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w_j), w_t, atol=2e-3)
+
+
+def test_parity_with_padding(converted):
+    golden, cfg, model, params = converted
+    rng = np.random.RandomState(1)
+    B, S, R = 2, 8, 4
+    x = rng.randint(4, VOCAB, (B, S))
+    x[1, 6:] = 1  # pad
+    feats = rng.randn(B, R, 2048).astype(np.float32)
+    locs = rng.rand(B, R, 5).astype(np.float32)
+    np_mask = np.ones((B, R + S), np.float32)
+    np_mask[1, R + 6:] = 0
+
+    with torch.no_grad():
+        h_t = golden.jointfwd(torch.from_numpy(x), torch.from_numpy(feats),
+                              torch.from_numpy(locs),
+                              torch.from_numpy(np_mask))
+
+    tmask = jnp.asarray(np_mask[:, R:] > 0)
+    h_j = model.apply({"params": params}, jnp.asarray(x), tmask,
+                      jnp.asarray(feats), jnp.asarray(locs),
+                      jnp.ones((B, R), bool), method=model.encode_joint)
+    np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(), atol=2e-4)
+
+
+def test_average_checkpoints(converted):
+    _, _, _, params = converted
+    doubled = jax.tree.map(lambda x: 2.0 * x, params)
+    avg = average_checkpoints([params, doubled], weights=[0.6, 0.4])
+    leaf = params["text_emb"]["word"]["embedding"]
+    leaf_avg = avg["text_emb"]["word"]["embedding"]
+    np.testing.assert_allclose(np.asarray(leaf_avg),
+                               np.asarray(leaf) * 1.4, atol=1e-6)
+
+
+def test_orbax_roundtrip(tmp_path, converted):
+    _, cfg, model, params = converted
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    tx, _ = build_optimizer("adam,lr=0.001")
+    state = create_train_state(params, tx)
+    state = state.replace(step=jnp.array(42, jnp.int32))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, extra={"epoch": 3})
+    fresh = create_train_state(jax.tree.map(jnp.zeros_like, params), tx)
+    restored, extra = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 42
+    assert extra["epoch"] == 3
+    np.testing.assert_allclose(
+        np.asarray(restored.params["text_emb"]["word"]["embedding"]),
+        np.asarray(params["text_emb"]["word"]["embedding"]))
