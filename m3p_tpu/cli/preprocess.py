@@ -1,0 +1,88 @@
+"""Offline preprocessing CLI — the reference `preprocess.py` binarizer
+(`/root/reference/M3P/preprocess.py:24-51`) plus vocabulary training.
+
+Subcommands:
+  binarize  — tokenize a text file into a flat int32 token stream (.npy),
+              replacing the XLM .pth uint16 stream format
+  train-vocab — train an in-tree unigram vocabulary from text corpora
+                (replaces the external fastBPE/SentencePiece toolchain,
+                `install-tools.sh:32-61`)
+
+Usage:
+  python -m m3p_tpu.cli.preprocess train-vocab --out vocab.tsv --size 32000 \\
+      corpus1.txt corpus2.txt
+  python -m m3p_tpu.cli.preprocess binarize --vocab vocab.tsv \\
+      --out train.en.npy train.en.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def cmd_train_vocab(args) -> None:
+    from m3p_tpu.tokenization.unigram import train_unigram
+
+    def lines():
+        for path in args.inputs:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    yield line.rstrip("\n")
+
+    model = train_unigram(lines(), vocab_size=args.size)
+    model.save(args.out)
+    print(f"trained unigram vocab: {len(model)} pieces -> {args.out}")
+
+
+def cmd_binarize(args) -> None:
+    from m3p_tpu.config import EOS_IDX
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    tok = XLMRTokenizer(args.vocab)
+    stream = []
+    n_sents = 0
+    for path in args.inputs:
+        with open(path, encoding="utf-8") as f:
+            batch = []
+            for line in f:
+                batch.append(line.rstrip("\n"))
+                if len(batch) == 2048:
+                    for ids in tok.encode_batch(batch, max_ids=512):
+                        stream.extend(ids)
+                        stream.append(EOS_IDX)
+                        n_sents += 1
+                    batch = []
+            for ids in tok.encode_batch(batch, max_ids=512):
+                stream.extend(ids)
+                stream.append(EOS_IDX)
+                n_sents += 1
+    arr = np.asarray(stream, np.int32)
+    np.save(args.out, arr)
+    print(f"binarized {n_sents} sentences, {arr.size} tokens -> {args.out}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="m3p_tpu preprocessing")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tv = sub.add_parser("train-vocab")
+    tv.add_argument("inputs", nargs="+")
+    tv.add_argument("--out", required=True)
+    tv.add_argument("--size", type=int, default=32000)
+    tv.set_defaults(fn=cmd_train_vocab)
+
+    bz = sub.add_parser("binarize")
+    bz.add_argument("inputs", nargs="+")
+    bz.add_argument("--vocab", required=True)
+    bz.add_argument("--out", required=True)
+    bz.set_defaults(fn=cmd_binarize)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

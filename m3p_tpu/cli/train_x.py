@@ -1,0 +1,311 @@
+"""Training entry point with the reference CLI surface.
+
+Drop-in parity with `/root/reference/M3P/train_x.py:29-391`: the same flag
+names parse into the typed `TrainConfig`; distributed init is replaced by the
+JAX single-controller mesh (no --local_rank/--master_port plumbing needed —
+accepted and ignored for script compatibility).
+
+Usage mirrors the reference recipes (`README.md:158-216`):
+  python -m m3p_tpu.cli.train_x --data_path ... --lgs en --emb_dim 768 \\
+      --n_layers 12 --cross_rel_steps coco-img --batch_size 24 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import Any, Dict
+
+from m3p_tpu.config import (DataConfig, EvalConfig, MeshConfig, ModelConfig,
+                            OptimConfig, TrainConfig)
+
+
+def bool_flag(s: str) -> bool:
+    if s.lower() in ("off", "false", "0"):
+        return False
+    if s.lower() in ("on", "true", "1"):
+        return True
+    raise argparse.ArgumentTypeError("invalid value for a boolean flag")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="m3p_tpu — TPU-native M3P")
+
+    # experiment
+    p.add_argument("--dump_path", type=str, default="./dumped/")
+    p.add_argument("--exp_name", type=str, default="m3p_tpu")
+    p.add_argument("--exp_id", type=str, default="")
+    p.add_argument("--save_periodic", type=int, default=0)
+    p.add_argument("--fp16", type=bool_flag, default=True,
+                   help="mixed precision (bf16 on TPU; no loss scaling)")
+    p.add_argument("--encoder_only", type=bool_flag, default=True)
+    p.add_argument("--english_only", type=bool_flag, default=False)
+
+    # model
+    p.add_argument("--emb_dim", type=int, default=768)
+    p.add_argument("--n_layers", type=int, default=12)
+    p.add_argument("--n_dec_layers", type=int, default=12)
+    p.add_argument("--n_heads", type=int, default=12)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--attention_dropout", type=float, default=0.1)
+    p.add_argument("--gelu_activation", type=bool_flag, default=True)
+    p.add_argument("--share_inout_emb", type=bool_flag, default=True)
+    p.add_argument("--sinusoidal_embeddings", type=bool_flag, default=False)
+    p.add_argument("--attention_setting", type=str, default="v1")
+    p.add_argument("--asm", type=bool_flag, default=False)
+    p.add_argument("--refine_image", type=bool_flag, default=True)
+    p.add_argument("--refine_layers", type=int, default=3)
+    p.add_argument("--refine_encoder", type=bool_flag, default=False)
+    p.add_argument("--use_externel_att", type=bool_flag, default=False)
+
+    # masking / noise
+    p.add_argument("--word_pred", type=float, default=0.15)
+    p.add_argument("--sample_alpha", type=float, default=0)
+    p.add_argument("--word_mask_keep_rand", type=str, default="0.8,0.1,0.1")
+    p.add_argument("--word_shuffle", type=float, default=0)
+    p.add_argument("--word_dropout", type=float, default=0)
+    p.add_argument("--word_blank", type=float, default=0)
+    p.add_argument("--word_mass", type=float, default=0.5)
+
+    # data
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--lgs", type=str, default="en")
+    p.add_argument("--src_lgs", type=str, default="")
+    p.add_argument("--ft_lgs", type=str, default="")
+    p.add_argument("--lg_sampling_factor", type=float, default=-1)
+    p.add_argument("--vocab_path", type=str, default="")
+    p.add_argument("--input_fea_dir", type=str, default="")
+    p.add_argument("--google_path", type=str, default="")
+    p.add_argument("--sbu_path", type=str, default="")
+    p.add_argument("--coco_path", type=str, default="")
+    p.add_argument("--flicker_path", type=str, default="")
+    p.add_argument("--mild_path", type=str, default="")
+    p.add_argument("--slide_path", type=str, default="")
+    p.add_argument("--train_order_path", type=str, default="")
+    p.add_argument("--cross_lingual_path", type=str, default="")
+    p.add_argument("--eval_path", type=str, default="")
+    p.add_argument("--google_valid_path", type=str, default="")
+    p.add_argument("--max_vocab", type=int, default=-1)
+    p.add_argument("--min_count", type=int, default=0)
+
+    # batching
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seq_per_img", type=int, default=5)
+    p.add_argument("--max_region_num", type=int, default=100)
+    p.add_argument("--bptt", type=int, default=128)
+    p.add_argument("--min_len", type=int, default=0)
+    p.add_argument("--max_len", type=int, default=64)
+    p.add_argument("--group_by_size", type=bool_flag, default=True)
+    p.add_argument("--max_batch_size", type=int, default=0)
+    p.add_argument("--tokens_per_batch", type=int, default=-1)
+    p.add_argument("--split_data", type=bool_flag, default=False)
+    p.add_argument("--num_workers", type=int, default=4)
+
+    # optimization
+    p.add_argument("--optimizer", type=str,
+                   default="adam_inverse_sqrt,beta1=0.9,beta2=0.98,"
+                           "lr=0.00005")
+    p.add_argument("--clip_grad_norm", type=float, default=5)
+    p.add_argument("--accumulate_gradients", type=int, default=1)
+    p.add_argument("--amp", type=int, default=-1,
+                   help="accepted for parity; TPU path always uses bf16")
+    p.add_argument("--epoch_size", type=int, default=100000)
+    p.add_argument("--max_epoch", type=int, default=100000)
+    p.add_argument("--stopping_criterion", type=str, default="")
+    p.add_argument("--validation_metrics", type=str, default="")
+
+    # lambdas
+    for name in ("mlm", "clm", "pc", "mass", "ic", "imlm", "ida", "tifg",
+                 "rel", "mrm", "mrfr", "t2i", "i2t"):
+        p.add_argument(f"--lambda_{name}", type=str, default="1")
+
+    # task steps
+    for name in ("clm_steps", "mlm_steps", "mass_steps", "mt_steps",
+                 "ae_steps", "bt_steps", "pc_steps", "cross_modal_steps",
+                 "cross_mass_steps", "cross_ae_steps", "cross_gan_steps",
+                 "cross_rel_steps", "cross_mlm_steps", "cross_mrm_steps",
+                 "cross_mrfr_steps", "cross_clcm_steps", "text_steps"):
+        p.add_argument(f"--{name}", type=str, default="")
+
+    # reload / eval
+    p.add_argument("--reload_model", type=str, default="")
+    p.add_argument("--multi_reload_model", type=str, default="")
+    p.add_argument("--reload_checkpoint", type=str, default="")
+    p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=1)
+    p.add_argument("--early_stopping", type=bool_flag, default=False)
+    p.add_argument("--eval_bleu", type=bool_flag, default=False)
+    p.add_argument("--eval_only", type=bool_flag, default=False)
+    p.add_argument("--eval_n", type=int, default=1000)
+    p.add_argument("--eval_images", type=int, default=-1)
+    p.add_argument("--retrieval_batch", type=int, default=26)
+    p.add_argument("--retrieval_workers", type=int, default=4)
+    p.add_argument("--test_splits", type=int, default=8)
+    p.add_argument("--coco_method", type=str, default="segment")
+    p.add_argument("--use_new_fea", type=bool_flag, default=False)
+
+    # debug / launcher compat (accepted; no-ops under the JAX runtime)
+    p.add_argument("--debug_train", type=bool_flag, default=False)
+    p.add_argument("--debug_pretrain", type=bool_flag, default=False)
+    p.add_argument("--debug_slurm", type=bool_flag, default=False)
+    p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--master_port", type=int, default=-1)
+
+    # task-family switches
+    p.add_argument("--is_cross_modal", type=bool_flag, default=True)
+    p.add_argument("--is_understanding", type=bool_flag, default=False)
+    p.add_argument("--is_generation", type=bool_flag, default=False)
+    p.add_argument("--is_pretrain", type=bool_flag, default=False)
+    p.add_argument("--is_mild", type=bool_flag, default=False)
+    p.add_argument("--is_mt", type=bool_flag, default=False)
+    p.add_argument("--mt_only_text", type=bool_flag, default=False)
+    p.add_argument("--is_ntg", type=bool_flag, default=False)
+    p.add_argument("--is_slide", type=bool_flag, default=False)
+    p.add_argument("--is_latent", type=bool_flag, default=False)
+    p.add_argument("--qp_type", type=str, default="q")
+    p.add_argument("--ft_all", type=bool_flag, default=False)
+    p.add_argument("--use_memory", type=bool_flag, default=False)
+    p.add_argument("--use_enc_att", type=bool_flag, default=False)
+    p.add_argument("--use_noise", type=float, default=0.0)
+    p.add_argument("--save_every_epoch", type=int, default=5)
+    p.add_argument("--kld_alpha", type=float, default=0.1)
+    p.add_argument("--rec_alpha", type=float, default=0.1)
+
+    # ITM / MCT
+    p.add_argument("--bin_cls_loss_weight", type=float, default=1)
+    p.add_argument("--multi_cls_loss_weight", type=float, default=1)
+    p.add_argument("--sent_ratio", type=float, default=0.5)
+    p.add_argument("--word_ratio", type=float, default=0.3)
+    p.add_argument("--sample_n", type=int, default=4)
+    p.add_argument("--t2i_flag", type=bool_flag, default=True)
+    p.add_argument("--i2t_flag", type=bool_flag, default=True)
+
+    # freeLB
+    p.add_argument("--is_freelb", type=bool_flag, default=False)
+    p.add_argument("--free_text", type=bool_flag, default=True)
+    p.add_argument("--free_img", type=bool_flag, default=True)
+
+    # TPU-native extensions (no reference equivalent)
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--mesh_tensor", type=int, default=1)
+    p.add_argument("--mesh_seq", type=int, default=1)
+    p.add_argument("--remat", type=bool_flag, default=False)
+    p.add_argument("--use_pallas_attention", type=bool_flag, default=True)
+    p.add_argument("--seed", type=int, default=12345)
+    return p
+
+
+def args_to_config(args: argparse.Namespace) -> TrainConfig:
+    model = ModelConfig(
+        emb_dim=args.emb_dim, n_layers=args.n_layers,
+        n_dec_layers=args.n_dec_layers, n_heads=args.n_heads,
+        dropout=args.dropout, attention_dropout=args.attention_dropout,
+        gelu_activation=args.gelu_activation,
+        share_inout_emb=args.share_inout_emb,
+        sinusoidal_embeddings=args.sinusoidal_embeddings,
+        max_region_num=args.max_region_num,
+        refine_layers=args.refine_layers, asm=args.asm,
+        attention_setting=args.attention_setting,
+        use_externel_att=args.use_externel_att,
+        dtype="bfloat16" if args.fp16 else "float32",
+        use_pallas_attention=args.use_pallas_attention,
+        remat=args.remat,
+        n_langs=max(len([l for l in args.lgs.split("-") if l]), 1) + 1,
+    )
+    data = DataConfig(
+        data_path=args.data_path, vocab_path=args.vocab_path, lgs=args.lgs,
+        max_len=args.max_len, max_region_num=args.max_region_num,
+        batch_size=args.batch_size, sample_n=args.sample_n,
+        word_pred=args.word_pred, sample_alpha=args.sample_alpha,
+        word_mask_keep_rand=args.word_mask_keep_rand,
+        word_shuffle=args.word_shuffle, word_dropout=args.word_dropout,
+        word_blank=args.word_blank, use_mct=bool(args.cross_lingual_path),
+        mct_sent_ratio=args.sent_ratio, mct_word_ratio=args.word_ratio,
+        seed=args.seed, num_workers=args.num_workers, bptt=args.bptt,
+    )
+    optim = OptimConfig(spec=args.optimizer,
+                        clip_grad_norm=args.clip_grad_norm,
+                        accumulate_gradients=args.accumulate_gradients)
+    mesh = MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                      tensor=args.mesh_tensor, seq=args.mesh_seq)
+    ev = EvalConfig(eval_only=args.eval_only, beam_size=args.beam_size,
+                    length_penalty=args.length_penalty,
+                    early_stopping=args.early_stopping,
+                    test_splits=args.test_splits)
+    return TrainConfig(
+        exp_name=args.exp_name, exp_id=args.exp_id, dump_path=args.dump_path,
+        model=model, optim=optim, mesh=mesh, data=data, eval=ev,
+        mlm_steps=args.mlm_steps, cross_rel_steps=args.cross_rel_steps,
+        cross_mlm_steps=args.cross_mlm_steps,
+        cross_mrm_steps=args.cross_mrm_steps,
+        cross_mrfr_steps=args.cross_mrfr_steps,
+        cross_ic_steps=args.cross_modal_steps,
+        cross_mt_steps=args.mt_steps, ntg_steps="",
+        slide_steps="",
+        lambda_mlm=args.lambda_mlm, lambda_rel=args.lambda_rel,
+        lambda_mrm=args.lambda_mrm, lambda_mrfr=args.lambda_mrfr,
+        lambda_ic=args.lambda_ic, lambda_t2i=args.lambda_t2i,
+        lambda_i2t=args.lambda_i2t,
+        epoch_size=args.epoch_size, max_epoch=args.max_epoch,
+        stopping_criterion=args.stopping_criterion,
+        validation_metrics=args.validation_metrics,
+        save_periodic=args.save_periodic, reload_model=args.reload_model,
+        reload_checkpoint=args.reload_checkpoint,
+        is_pretrain=args.is_pretrain,
+        is_understanding=args.is_understanding,
+        is_generation=args.is_generation, is_mt=args.is_mt,
+        is_ntg=args.is_ntg, is_mild=args.is_mild, is_slide=args.is_slide,
+        is_freelb=args.is_freelb, seed=args.seed,
+    )
+
+
+def main(argv=None) -> None:
+    import jax
+
+    from m3p_tpu.data.loader import load_data
+    from m3p_tpu.eval.evaluator import Evaluator
+    from m3p_tpu.model import build_model
+    from m3p_tpu.parallel.mesh import make_mesh
+    from m3p_tpu.train.trainer import Trainer
+    from m3p_tpu.utils.logging import initialize_exp
+    from m3p_tpu import checkpoint as ckpt
+
+    args = get_parser().parse_args(argv)
+    cfg = args_to_config(args)
+    logger = initialize_exp(cfg, jax.process_index())
+
+    model, params = build_model(cfg.model, jax.random.PRNGKey(cfg.seed))
+    if args.reload_model:
+        loaded = ckpt.load_reference_checkpoint(
+            args.reload_model, cfg.model.n_layers, cfg.model.refine_layers)
+        params = ckpt.merge_params(params, loaded)
+        logger.info("reloaded model weights from %s", args.reload_model)
+
+    data = load_data(cfg)
+    trainer = Trainer(cfg, model, params, data.train_datasets)
+    trainer.install_preemption_handler()
+    if args.reload_checkpoint or True:
+        trainer.reload_checkpoint()
+    evaluator = Evaluator(model, cfg)
+
+    if cfg.eval.eval_only:
+        scores = evaluator.run_all_evals(trainer.state.params,
+                                         data.eval_data)
+        logger.info("eval-only scores: %s", scores)
+        return
+
+    for _ in range(cfg.max_epoch):
+        if trainer.should_stop:
+            break
+        logger.info("==== starting epoch %d ====", trainer.epoch)
+        trainer.train_epoch()
+        scores = evaluator.run_all_evals(trainer.state.params,
+                                         data.eval_data)
+        trainer.save_best_model(scores)
+        trainer.end_epoch(scores)
+
+
+if __name__ == "__main__":
+    main()

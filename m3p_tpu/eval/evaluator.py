@@ -1,0 +1,206 @@
+"""Evaluation orchestration — the reference `XEvaluator.run_all_evals`
+(`/root/reference/M3P/src/evaluation/xevaluator.py:120-281`) rebuilt.
+
+Per task family:
+  * text/caption/MT ppl + next-token accuracy on validation batches (losses
+    reused deterministically with a FIXED eval PRNG, matching the reference's
+    seeded eval masking `xevaluator.py:402,502`)
+  * retrieval: sample-grid accuracy on valid, full-grid R@1/5/10 + mean
+    recall on test (`evaluate_image_retrieval` semantics)
+  * captioning / NTG: beam decode -> detokenize -> BLEU / CIDEr
+  * slide: binary accuracy
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3p_tpu.data.masking import MaskingConfig
+from m3p_tpu.eval.bleu import corpus_bleu
+from m3p_tpu.eval.cider import cider_score
+from m3p_tpu.eval.retrieval import recall_at_k, retrieval_grid_scores
+from m3p_tpu.model.generation import beam_search, greedy_generate
+from m3p_tpu.model.transformer import lengths_to_mask
+from m3p_tpu.train import steps as S
+
+logger = logging.getLogger("m3p_tpu")
+
+EVAL_SEED = 0  # fixed eval RNG (reference `np.random.RandomState(0)`)
+
+
+class Evaluator:
+    def __init__(self, model, cfg, mask_cfg: Optional[MaskingConfig] = None):
+        self.model = model
+        self.cfg = cfg
+        self.mask_cfg = mask_cfg or MaskingConfig(
+            n_words=cfg.model.n_words, mask_index=cfg.model.mask_index,
+            max_pred=cfg.data.max_pred_per_seq)
+
+    # -- validation perplexities / accuracies ---------------------------
+
+    def evaluate_mlm(self, params, batches: Iterable[Dict]) -> Dict[str, float]:
+        key = jax.random.PRNGKey(EVAL_SEED)
+        losses = []
+        for b in batches:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            loss, _ = S.mlm_loss(self.model, params, b, key, self.mask_cfg,
+                                 deterministic=True)
+            losses.append(float(loss))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        return {"mlm_ppl": float(np.exp(min(mean, 30.0))), "mlm_loss": mean}
+
+    def evaluate_seq2seq(self, params, batches: Iterable[Dict],
+                         multimodal: bool = False, name: str = "mt"
+                         ) -> Dict[str, float]:
+        key = jax.random.PRNGKey(EVAL_SEED)
+        losses, accs = [], []
+        for b in batches:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            fn = S.mt_caption_loss if multimodal else S.mt_loss
+            loss, m = fn(self.model, params, b, key, deterministic=True)
+            losses.append(float(loss))
+            accs.append(float(m["acc"]))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        return {f"{name}_ppl": float(np.exp(min(mean, 30.0))),
+                f"{name}_acc": 100.0 * float(np.mean(accs)) if accs else 0.0}
+
+    def evaluate_caption_loss(self, params, batches: Iterable[Dict]
+                              ) -> Dict[str, float]:
+        key = jax.random.PRNGKey(EVAL_SEED)
+        losses, accs = [], []
+        for b in batches:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            loss, m = S.caption_loss(self.model, params, b, key,
+                                     deterministic=True)
+            losses.append(float(loss))
+            accs.append(float(m["acc"]))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        return {"ic_ppl": float(np.exp(min(mean, 30.0))),
+                "ic_acc": 100.0 * float(np.mean(accs)) if accs else 0.0}
+
+    # -- retrieval ------------------------------------------------------
+
+    def evaluate_retrieval_valid(self, params, batches: Iterable[Dict]
+                                 ) -> Dict[str, float]:
+        """Sample-grid accuracy (valid split, `evaluate_t2i/i2t`)."""
+        key = jax.random.PRNGKey(EVAL_SEED)
+        accs = []
+        for b in batches:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            _, m = S.itm_finetune_loss(self.model, params, b, key,
+                                       self.cfg.data.sample_n,
+                                       deterministic=True)
+            accs.append(float(m["acc"]))
+        return {"retrieval_acc": 100.0 * float(np.mean(accs)) if accs else 0.0}
+
+    def evaluate_retrieval_test(self, params, cap_tokens, cap_len, cap_to_img,
+                                img_feats, img_locs, img_len,
+                                chunk_size: int = 512,
+                                prefix: str = "") -> Dict[str, float]:
+        scores = retrieval_grid_scores(
+            self.model, params, cap_tokens, cap_len, img_feats, img_locs,
+            img_len, chunk_size=chunk_size)
+        r = recall_at_k(scores, cap_to_img)
+        return {f"{prefix}{k}": v for k, v in r.items()}
+
+    # -- generation -----------------------------------------------------
+
+    def generate_captions(self, params, batches: Iterable[Dict], tokenizer,
+                          tgt_lang_id: Optional[int] = None,
+                          beam_size: Optional[int] = None,
+                          max_len: Optional[int] = None) -> List[str]:
+        beam_size = beam_size or self.cfg.eval.beam_size
+        max_len = max_len or self.cfg.eval.max_gen_len
+        hyps: List[str] = []
+        for b in batches:
+            feats = jnp.asarray(b["feats"])
+            locs = jnp.asarray(b["locs"])
+            img_mask = lengths_to_mask(jnp.asarray(b["img_len"]),
+                                       feats.shape[1])
+            src_enc = self.model.apply(
+                {"params": params}, feats, locs, img_mask, None, True,
+                method=self.model.encode_image)
+            if beam_size > 1:
+                toks, lens = beam_search(
+                    self.model, params, src_enc, img_mask, beam_size,
+                    max_len, tgt_lang_id=tgt_lang_id,
+                    length_penalty=self.cfg.eval.length_penalty)
+            else:
+                toks, lens = greedy_generate(
+                    self.model, params, src_enc, img_mask, max_len,
+                    tgt_lang_id=tgt_lang_id)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            for i in range(toks.shape[0]):
+                hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))
+        return hyps
+
+    def evaluate_captioning(self, params, batches: List[Dict],
+                            references: List[List[str]], tokenizer,
+                            tgt_lang_id: Optional[int] = None
+                            ) -> Dict[str, float]:
+        hyps = self.generate_captions(params, batches, tokenizer, tgt_lang_id)
+        n = min(len(hyps), len(references))
+        return {
+            "caption_bleu": corpus_bleu(hyps[:n], references[:n]),
+            "caption_cider": cider_score(hyps[:n], references[:n]),
+        }
+
+    # -- slide ----------------------------------------------------------
+
+    def evaluate_slide(self, params, batches: Iterable[Dict]
+                       ) -> Dict[str, float]:
+        key = jax.random.PRNGKey(EVAL_SEED)
+        accs = []
+        for b in batches:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            _, m = S.slide_loss(self.model, params, b, key,
+                                deterministic=True)
+            accs.append(float(m["acc"]))
+        return {"slide_acc": 100.0 * float(np.mean(accs)) if accs else 0.0}
+
+    # -- top level ------------------------------------------------------
+
+    def run_all_evals(self, params, eval_data: Dict[str, Any]
+                      ) -> Dict[str, float]:
+        """Dispatch over whatever eval data is provided.
+
+        eval_data keys (all optional):
+          mlm_batches, mt_batches, mmt_batches, caption_batches,
+          retrieval_valid_batches, retrieval_test (tuple of grid arrays),
+          caption_gen (dict with batches/references/tokenizer/lang_id),
+          slide_batches
+        """
+        scores: Dict[str, float] = {}
+        if "mlm_batches" in eval_data:
+            scores.update(self.evaluate_mlm(params, eval_data["mlm_batches"]))
+        if "mt_batches" in eval_data:
+            scores.update(self.evaluate_seq2seq(params,
+                                                eval_data["mt_batches"]))
+        if "mmt_batches" in eval_data:
+            scores.update(self.evaluate_seq2seq(
+                params, eval_data["mmt_batches"], multimodal=True,
+                name="mmt"))
+        if "caption_batches" in eval_data:
+            scores.update(self.evaluate_caption_loss(
+                params, eval_data["caption_batches"]))
+        if "retrieval_valid_batches" in eval_data:
+            scores.update(self.evaluate_retrieval_valid(
+                params, eval_data["retrieval_valid_batches"]))
+        if "retrieval_test" in eval_data:
+            scores.update(self.evaluate_retrieval_test(
+                params, *eval_data["retrieval_test"]))
+        if "caption_gen" in eval_data:
+            g = eval_data["caption_gen"]
+            scores.update(self.evaluate_captioning(
+                params, g["batches"], g["references"], g["tokenizer"],
+                g.get("lang_id")))
+        if "slide_batches" in eval_data:
+            scores.update(self.evaluate_slide(params,
+                                              eval_data["slide_batches"]))
+        logger.info("__log__:%s", scores)
+        return scores
