@@ -287,6 +287,32 @@ def mt_caption_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
                       rngs={"dropout": r_dec}, deterministic=deterministic)
 
 
+def mass_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+              deterministic: bool = False) -> Tuple[jax.Array, Metrics]:
+    """MASS segment-masked seq2seq (`bart_mass_step`/`restricted_mask_sent`,
+    `xtrainer.py:1269-1316,1648`): encode the span-masked sentence, decode the
+    masked span from its previous tokens at the span's source positions.
+
+    Batch from `m3p_tpu.data.span_masking.mass_mask`."""
+    r_enc, r_dec = jax.random.split(rng)
+    enc_mask = lengths_to_mask(batch["enc_len"], batch["enc_tokens"].shape[1])
+    src_enc, _ = model.apply(
+        {"params": params}, batch["enc_tokens"], enc_mask,
+        batch.get("langs"), method=model.encode_text,
+        rngs={"dropout": r_enc}, deterministic=deterministic)
+    tgt_mask = batch["target_mask"]
+    dec, _ = model.apply(
+        {"params": params}, batch["dec_tokens"], tgt_mask > 0, None,
+        batch["dec_pos"], True, src_enc, enc_mask, None, deterministic,
+        method=model.encode_text, rngs={"dropout": r_dec})
+    logits = model.apply({"params": params}, dec, method=model.word_logits)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), batch["targets"])
+    denom = jnp.maximum(jnp.sum(tgt_mask), 1.0)
+    loss = jnp.sum(ce * tgt_mask) / denom
+    return loss, {"mass": loss}
+
+
 def slide_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
                refine_image: bool = True, deterministic: bool = False
                ) -> Tuple[jax.Array, Metrics]:
