@@ -237,13 +237,18 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
     return TrainConfig(
         exp_name=args.exp_name, exp_id=args.exp_id, dump_path=args.dump_path,
         model=model, optim=optim, mesh=mesh, data=data, eval=ev,
-        mlm_steps=args.mlm_steps, cross_rel_steps=args.cross_rel_steps,
+        mlm_steps=args.mlm_steps,
         cross_mlm_steps=args.cross_mlm_steps,
         cross_mrm_steps=args.cross_mrm_steps,
         cross_mrfr_steps=args.cross_mrfr_steps,
         cross_ic_steps=args.cross_modal_steps,
-        cross_mt_steps=args.mt_steps, ntg_steps="",
-        slide_steps="",
+        # NTG reuses the MT step DSL under --is_ntg; slide reuses
+        # cross_rel_steps under --is_slide (reference loader routing,
+        # `loader.py:686-703`)
+        cross_mt_steps="" if args.is_ntg else args.mt_steps,
+        ntg_steps=args.mt_steps if args.is_ntg else "",
+        cross_rel_steps="" if args.is_slide else args.cross_rel_steps,
+        slide_steps=args.cross_rel_steps if args.is_slide else "",
         lambda_mlm=args.lambda_mlm, lambda_rel=args.lambda_rel,
         lambda_mrm=args.lambda_mrm, lambda_mrfr=args.lambda_mrfr,
         lambda_ic=args.lambda_ic, lambda_t2i=args.lambda_t2i,

@@ -235,6 +235,25 @@ class PretrainDataset(RetrievalDataset):
                    self.pretrain_batch(rng, ids, "i2t", with_clcm=with_clcm))
 
 
+class MILDDataset(RetrievalDataset):
+    """MILD query-based retrieval (`MILD_finetune.py:33-975`): items are
+    (query, passage) pairs per image; ``qp_type='q'`` scores the query alone,
+    ``qp_type='qp'`` scores query+passage concatenated
+    (`MILD_finetune.py:110-113,944-974`).  Candidate-grid semantics are
+    inherited from RetrievalDataset with the text built per qp_type.
+    """
+
+    def __init__(self, queries: Dict[str, List[Tuple[str, str]]], store,
+                 tokenizer, qp_type: str = "q", **kw):
+        assert qp_type in ("q", "qp")
+        self.qp_type = qp_type
+        captions = {
+            img_id: [q if qp_type == "q" else f"{q} {p}"
+                     for q, p in pairs]
+            for img_id, pairs in queries.items()}
+        super().__init__(captions, store, tokenizer, **kw)
+
+
 class CaptionDataset:
     """(caption, image) pairs for captioning / tifg (`dataset_finetune.py:
     32-297`)."""

@@ -259,6 +259,15 @@ def _attention_pallas_bwd(causal, sm_scale, interpret, residuals, g):
 _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
+# Below this KV length the (Sq, Sk) score matrix is small enough that XLA's
+# fused attention beats the Pallas kernel (measured on v5e at the M3P joint
+# sequence of 164: XLA 526 vs Pallas 419 samples/s end-to-end) — the flash
+# kernel's layout transposes around the custom call and its padding to
+# 128-blocks dominate.  Flash attention pays off once the score matrix
+# stresses VMEM/HBM, i.e. long-sequence configs.
+PALLAS_MIN_KV_LEN = 1024
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -271,12 +280,14 @@ def attention(
 ) -> jax.Array:
     """Dispatching attention entry point used by the model.
 
-    Pallas requires a TPU backend (or interpret mode); on CPU test meshes the
-    XLA path is used automatically.
+    Chooses the Pallas flash kernel only when (a) allowed, (b) running on a
+    TPU backend (or interpreting), and (c) the KV sequence is long enough for
+    blockwise attention to win (see PALLAS_MIN_KV_LEN).
     """
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and (on_tpu or interpret):
+    long_enough = k.shape[2] >= PALLAS_MIN_KV_LEN
+    if use_pallas and (on_tpu or interpret) and (long_enough or interpret):
         return _attention_pallas(q, k, v, kv_mask, causal, scale, interpret)
     return mha_reference(q, k, v, kv_mask, causal=causal, sm_scale=scale)
