@@ -211,6 +211,25 @@ class M3PModel(nn.Module):
         x, _ = self._run_blocks(x, joint_mask, deterministic=deterministic)
         return x
 
+    def decode_image(
+        self,
+        feats: jax.Array,
+        locs: jax.Array,
+        img_mask: jax.Array,
+        src_enc: jax.Array,
+        src_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Causal image-stream decoding with cross-attention over a text
+        encoding — the TIFG text-to-image-feature generator topology
+        (`tifg_step`, `xtrainer.py:1840-1852`)."""
+        x = self.image_emb(feats, locs, deterministic=deterministic)
+        x = x * img_mask[..., None].astype(x.dtype)
+        x, _ = self._run_blocks(x, img_mask, causal=True, src_enc=src_enc,
+                                src_mask=src_mask,
+                                deterministic=deterministic)
+        return x
+
     # ------------------------------------------------------------------
     # heads (reference ``predict`` mode, `transformer.py:1183-1214`)
     # ------------------------------------------------------------------

@@ -287,6 +287,58 @@ def mt_caption_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
                       rngs={"dropout": r_dec}, deterministic=deterministic)
 
 
+def tifg_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+              refine_image: bool = True, deterministic: bool = False
+              ) -> Tuple[jax.Array, Metrics]:
+    """Text-to-image-feature generation (`tifg_step`, `xtrainer.py:1810-1866`):
+    encode the caption, causally "decode" the image stream with
+    cross-attention, regress the refined image embedding with MSE."""
+    r_t, r_i, r_d = jax.random.split(rng, 3)
+    text_mask = lengths_to_mask(batch["text_len"], batch["tokens"].shape[1])
+    img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+    target = model.apply(
+        {"params": params}, batch["feats"], batch["locs"], img_mask, None,
+        refine_image, method=model.embed_image_regions,
+        rngs={"dropout": r_i}, deterministic=deterministic)
+    enc, _ = model.apply(
+        {"params": params}, batch["tokens"], text_mask,
+        method=model.encode_text, rngs={"dropout": r_t},
+        deterministic=deterministic)
+    dec = model.apply(
+        {"params": params}, batch["feats"], batch["locs"], img_mask, enc,
+        text_mask, deterministic, method=model.decode_image,
+        rngs={"dropout": r_d})
+    w = img_mask[..., None].astype(jnp.float32)
+    se = (dec.astype(jnp.float32)
+          - jax.lax.stop_gradient(target).astype(jnp.float32)) ** 2
+    loss = jnp.sum(se * w) / jnp.maximum(jnp.sum(w) * dec.shape[-1], 1.0)
+    return loss, {"tifg": loss}
+
+
+def pc_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+            clf_ids: Tuple[int, int] = (8, 9), deterministic: bool = False
+            ) -> Tuple[jax.Array, Metrics]:
+    """Parallel classification (`pc_step`, `xtrainer.py:772-826`): classify
+    whether a concatenated sentence pair is a translation pair; the binary
+    classifier reuses two word-embedding rows as weight/bias (reference
+    CLF_ID1/CLF_ID2 hack preserved for checkpoint parity).
+
+    Batch from `m3p_tpu.data.noise.concat_batches` + labels (B,)."""
+    text_mask = lengths_to_mask(batch["lengths"], batch["tokens"].shape[1])
+    hidden, _ = model.apply(
+        {"params": params}, batch["tokens"], text_mask, batch.get("langs"),
+        batch.get("positions"), method=model.encode_text,
+        rngs={"dropout": rng}, deterministic=deterministic)
+    h0 = hidden[:, 0].astype(jnp.float32)
+    emb = params["text_emb"]["word"]["embedding"].astype(jnp.float32)
+    logits = h0 @ emb[clf_ids[0]] + emb[clf_ids[1], 0]
+    loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        logits, batch["labels"].astype(jnp.float32)))
+    acc = jnp.mean(((logits > 0) == (batch["labels"] > 0))
+                   .astype(jnp.float32))
+    return loss, {"pc": loss, "acc": acc}
+
+
 def mass_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
               deterministic: bool = False) -> Tuple[jax.Array, Metrics]:
     """MASS segment-masked seq2seq (`bart_mass_step`/`restricted_mask_sent`,
