@@ -394,13 +394,17 @@ def make_train_step(
     loss_fn: Callable[..., Tuple[jax.Array, Metrics]],
     donate: bool = True,
     state_shardings: Optional[Any] = None,
+    with_grad_norm: bool = False,
 ) -> Callable:
     """Wrap a loss function into a jitted (state, batch, rng, **scalars) ->
     (state, metrics) step with value_and_grad.
 
     ``state_shardings`` (a TrainState-shaped tree of NamedShardings, see
     `m3p_tpu.parallel.sharding.train_state_shardings`) pins the output state
-    layout so parameters stay sharded across steps on a mesh."""
+    layout so parameters stay sharded across steps on a mesh.
+    ``with_grad_norm`` adds the global gradient norm to the metrics — an
+    extra full pass over the gradients, so off by default (the clipping
+    transform computes its own norm regardless)."""
 
     def step(state, batch, rng, **kw):
         def compute(params):
@@ -410,7 +414,8 @@ def make_train_step(
             compute, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if with_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     out_shardings = None
