@@ -139,6 +139,46 @@ class Evaluator:
                 hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))
         return hyps
 
+    def generate_translations(self, params, batches: Iterable[Dict],
+                              tokenizer, tgt_lang_id: Optional[int] = None,
+                              beam_size: Optional[int] = None,
+                              max_len: Optional[int] = None) -> List[str]:
+        """Seq2seq generation for MT / NTG eval (`evaluate_mt` /
+        `evaluate_ntg_generate`, `xevaluator.py:1178-1260`)."""
+        beam_size = beam_size or self.cfg.eval.beam_size
+        max_len = max_len or self.cfg.eval.max_gen_len
+        hyps: List[str] = []
+        for b in batches:
+            src = jnp.asarray(b["src_tokens"])
+            src_mask = lengths_to_mask(jnp.asarray(b["src_len"]),
+                                       src.shape[1])
+            src_enc, _ = self.model.apply(
+                {"params": params}, src, src_mask,
+                jnp.asarray(b["src_langs"]) if "src_langs" in b else None,
+                method=self.model.encode_text)
+            if beam_size > 1:
+                toks, lens = beam_search(
+                    self.model, params, src_enc, src_mask, beam_size,
+                    max_len, tgt_lang_id=tgt_lang_id,
+                    length_penalty=self.cfg.eval.length_penalty)
+            else:
+                toks, lens = greedy_generate(
+                    self.model, params, src_enc, src_mask, max_len,
+                    tgt_lang_id=tgt_lang_id)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            for i in range(toks.shape[0]):
+                hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))
+        return hyps
+
+    def evaluate_translation(self, params, batches: List[Dict],
+                             references: List[List[str]], tokenizer,
+                             tgt_lang_id: Optional[int] = None,
+                             name: str = "mt") -> Dict[str, float]:
+        hyps = self.generate_translations(params, batches, tokenizer,
+                                          tgt_lang_id)
+        n = min(len(hyps), len(references))
+        return {f"{name}_bleu": corpus_bleu(hyps[:n], references[:n])}
+
     def evaluate_captioning(self, params, batches: List[Dict],
                             references: List[List[str]], tokenizer,
                             tgt_lang_id: Optional[int] = None
@@ -199,6 +239,11 @@ class Evaluator:
             scores.update(self.evaluate_captioning(
                 params, g["batches"], g["references"], g["tokenizer"],
                 g.get("lang_id")))
+        if "mt_gen" in eval_data:
+            g = eval_data["mt_gen"]
+            scores.update(self.evaluate_translation(
+                params, g["batches"], g["references"], g["tokenizer"],
+                g.get("lang_id"), g.get("name", "mt")))
         if "slide_batches" in eval_data:
             scores.update(self.evaluate_slide(params,
                                               eval_data["slide_batches"]))

@@ -47,8 +47,16 @@ def retrieval_grid_scores(
     refine_image: bool = True,
     batch_sharding=None,
     progress: bool = False,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> np.ndarray:
-    """Score all n_img x n_cap pairs; returns the fp32 score matrix."""
+    """Score all n_img x n_cap pairs; returns the fp32 score matrix.
+
+    With ``process_count > 1`` each host scores an interleaved subset of the
+    pair chunks and the caller merges score matrices by summation (the
+    multihost replacement for the reference's per-rank .npy dumps,
+    `xevaluator.py:1616-1619`) — unscored entries stay 0.
+    """
     n_cap = cap_tokens.shape[0]
     n_img = img_feats.shape[0]
     n_pairs = n_img * n_cap
@@ -59,7 +67,9 @@ def retrieval_grid_scores(
 
     params_dev = params
     out = np.zeros((n_pairs,), np.float32)
-    for start in range(0, n_pairs, chunk_size):
+    all_starts = list(range(0, n_pairs, chunk_size))
+    my_starts = all_starts[process_index::process_count]
+    for start in my_starts:
         idx = np.arange(start, min(start + chunk_size, n_pairs))
         pad = chunk_size - idx.size
         ii = np.concatenate([idx // n_cap, np.zeros(pad, np.int64)])

@@ -139,8 +139,40 @@ class Trainer:
         elif kind == "slide":
             def loss_fn(p, b, key, **lam):
                 return S.slide_loss(model, p, b, key)
+        elif kind in ("mass", "bart"):
+            # batches come pre-noised from span_masking host transforms
+            if kind == "mass":
+                def loss_fn(p, b, key, **lam):
+                    loss, m = S.mass_loss(model, p, b, key)
+                    return lam.get("lambda_mass", 1.0) * loss, m
+            else:
+                def loss_fn(p, b, key, **lam):
+                    loss, m = S.mt_loss(model, p, b, key)
+                    return lam.get("lambda_mass", 1.0) * loss, m
+        elif kind == "tifg":
+            def loss_fn(p, b, key, **lam):
+                loss, m = S.tifg_loss(model, p, b, key)
+                return lam.get("lambda_tifg", 1.0) * loss, m
+        elif kind == "pc":
+            def loss_fn(p, b, key, **lam):
+                return S.pc_loss(model, p, b, key)
         else:
             raise ValueError(f"unknown step kind: {kind}")
+
+        if kind == "rel" and cfg.is_freelb:
+            # adversarial fine-tuning path (`free_lb_t2i/i2t_step`)
+            from m3p_tpu.train.freelb import FreeLBConfig, make_freelb_itm_step
+
+            step = make_freelb_itm_step(
+                model, cfg.data.sample_n,
+                FreeLBConfig(adv_steps=cfg.adv_steps, adv_lr=cfg.adv_lr,
+                             adv_max_norm=cfg.adv_max_norm,
+                             norm_type=cfg.norm_type),
+                state_shardings=self.state_shardings)
+            # freeLB steps ignore lambda kwargs
+            self._steps[kind] = lambda st, b, k, **lam: step(st, b, k)
+            return self._steps[kind]
+
         step = S.make_train_step(loss_fn, donate=True,
                                  state_shardings=self.state_shardings)
         self._steps[kind] = step

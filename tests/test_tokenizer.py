@@ -105,3 +105,21 @@ def test_batch_sentences_truncation():
     toks, lengths, _ = batch_sentences([[1, 2, 3, 4, 5, 6]], max_len=5)
     assert toks.shape == (1, 5)
     assert toks[0, -1] == EOS_IDX and lengths[0] == 5
+
+
+def test_legacy_dictionary(tmp_path):
+    from m3p_tpu.tokenization.dictionary import Dictionary
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("the 100\ncat 50\ndog 30\nrare 1\n")
+    d = Dictionary.read_vocab(str(vocab), min_count=2)
+    assert len(d) == 7  # 4 specials + the/cat/dog (rare filtered)
+    assert d.index("the") == 4
+    assert d.index("unknown") == UNK_IDX
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("the cat\nthe dog zebra\n")
+    data = d.index_data(str(txt))
+    assert list(data["positions"]) == [0, 3]
+    assert data["sentences"][2] == EOS_IDX
+    assert data["unk_words"] == {"zebra": 1}
