@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -88,11 +89,30 @@ def cosine_schedule(
     return schedule
 
 
+def skip_nonfinite() -> optax.GradientTransformation:
+    """Zero the whole update when any gradient is non-finite — the safe
+    version of the reference's log-NaN-and-continue (`xtrainer.py:209-212`):
+    the step is skipped instead of corrupting optimizer moments."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(u)) for u in jax.tree.leaves(updates)]))
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     spec: str,
     clip_grad_norm: float = 0.0,
     accumulate_gradients: int = 1,
     weight_decay: float = 0.0,
+    guard_nonfinite: bool = False,
 ) -> Tuple[optax.GradientTransformation, Callable]:
     """Build the optax chain from a reference-style spec string.
 
@@ -144,6 +164,8 @@ def build_optimizer(
         raise ValueError(f"unknown optimizer: {name!r}")
 
     chain = []
+    if guard_nonfinite:
+        chain.append(skip_nonfinite())
     if clip_grad_norm and clip_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(clip_grad_norm))
     chain.append(core)

@@ -161,3 +161,18 @@ def test_optim_schedules():
     c = cosine_schedule(1e-4, warmup_updates=100, init_period=1000)
     assert float(c(100)) == pytest.approx(1e-4, rel=1e-2)
     assert float(c(600)) < float(c(100))
+
+
+def test_skip_nonfinite_guard():
+    import jax.numpy as jnp
+    from m3p_tpu.train.optim import build_optimizer
+
+    tx, _ = build_optimizer("sgd,lr=1.0", guard_nonfinite=True)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    good = {"w": jnp.ones(3) * 0.5}
+    upd, state = tx.update(good, state, params)
+    assert float(upd["w"][0]) != 0.0
+    bad = {"w": jnp.array([1.0, float("nan"), 1.0])}
+    upd, state = tx.update(bad, state, params)
+    assert float(jnp.abs(upd["w"]).max()) == 0.0
