@@ -222,6 +222,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         word_mask_keep_rand=args.word_mask_keep_rand,
         word_shuffle=args.word_shuffle, word_dropout=args.word_dropout,
         word_blank=args.word_blank, use_mct=bool(args.cross_lingual_path),
+        cross_lingual_path=args.cross_lingual_path,
         mct_sent_ratio=args.sent_ratio, mct_word_ratio=args.word_ratio,
         seed=args.seed, num_workers=args.num_workers, bptt=args.bptt,
     )

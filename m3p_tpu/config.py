@@ -157,6 +157,7 @@ class DataConfig:
     word_blank: float = 0.0
     # MCT code-switching (`clag.py`)
     use_mct: bool = False
+    cross_lingual_path: str = ""   # MUSE bilingual dictionaries for MCT
     mct_sent_ratio: float = 0.5
     mct_word_ratio: float = 0.3
     seed: int = 12345

@@ -96,7 +96,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
     if tokenizer is None:
         logger.warning("no tokenizer — returning empty data")
         return out
-    clager = _build_clager(cfg, cross_lingual_path)
+    clager = _build_clager(cfg, cross_lingual_path
+                           or cfg.data.cross_lingual_path)
     langs = list(cfg.lang2id.keys())
 
     # ---- mono text streams (xMLM) -----------------------------------

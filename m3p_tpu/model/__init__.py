@@ -44,8 +44,12 @@ def build_model(cfg: ModelConfig, rng: jax.Array) -> Tuple[M3PModel, Dict[str, A
     langs = jnp.zeros((b, s), jnp.int32)
     import flax.linen as nn
 
-    boxed = model.init(rng, tokens, text_mask, feats, locs, img_mask, langs,
-                       method=_init_method)["params"]
+    # jit the init: unjitted init dispatches thousands of tiny ops (very slow
+    # over remote-device transports); one compiled program instead
+    init_fn = jax.jit(
+        lambda r: model.init(r, tokens, text_mask, feats, locs, img_mask,
+                             langs, method=_init_method))
+    boxed = init_fn(rng)["params"]
     # params carry nn.Partitioned logical-axis metadata; unbox for plain use
     # (m3p_tpu.parallel.sharding re-derives the specs via eval_shape)
     params = nn.meta.unbox(boxed)
