@@ -162,3 +162,31 @@ def test_determinism(tokenizer, store, captions):
     a2, _ = next(ds.epoch_iterator(batch_size=2, epoch=3))
     np.testing.assert_array_equal(a1["tokens"], a2["tokens"])
     np.testing.assert_array_equal(a1["pos_label"], a2["pos_label"])
+
+
+def test_grain_pipeline(tokenizer, store, captions):
+    gp_mod = pytest.importorskip("grain.python")
+    from m3p_tpu.data.grain_pipeline import (
+        make_retrieval_loader, restore_loader_state, save_loader_state)
+
+    ds = RetrievalDataset(captions, store, tokenizer, sample_n=2, max_len=16,
+                          seed=3)
+    loader = make_retrieval_loader(ds, batch_groups=3, seed=5,
+                                   num_epochs=2, shard_by_process=False)
+    it = iter(loader)
+    b1 = next(it)
+    assert b1["tokens"].shape == (6, 16)       # 3 groups x sample_n 2
+    assert b1["feats"].shape == (6, 8, 2048)
+    assert b1["pos_label"].shape == (3,)
+
+    # checkpointable iterator: state restore reproduces the next batch
+    state = save_loader_state(it)
+    b2 = next(it)
+    restore_loader_state(it, state)
+    b2_again = next(it)
+    np.testing.assert_array_equal(b2["tokens"], b2_again["tokens"])
+
+    # determinism across fresh loaders
+    it2 = iter(make_retrieval_loader(ds, batch_groups=3, seed=5,
+                                     num_epochs=2, shard_by_process=False))
+    np.testing.assert_array_equal(b1["tokens"], next(it2)["tokens"])
