@@ -282,17 +282,31 @@ def main(argv=None) -> None:
     cfg = args_to_config(args)
     logger = initialize_exp(cfg, jax.process_index())
 
+    data = load_data(cfg)
+    if data.tokenizer is not None:
+        # vocab size / mask id come from the tokenizer (reference
+        # `check_data_params`, `loader.py:147-153`)
+        import dataclasses as _dc
+
+        cfg = cfg.replace(model=_dc.replace(
+            cfg.model, n_words=data.tokenizer.vocab_size,
+            mask_index=data.tokenizer.mask_token_id))
+
     model, params = build_model(cfg.model, jax.random.PRNGKey(cfg.seed))
     if args.reload_model:
         loaded = ckpt.load_reference_checkpoint(
             args.reload_model, cfg.model.n_layers, cfg.model.refine_layers)
         params = ckpt.merge_params(params, loaded)
         logger.info("reloaded model weights from %s", args.reload_model)
-
-    data = load_data(cfg)
     trainer = Trainer(cfg, model, params, data.train_datasets)
     trainer.install_preemption_handler()
-    if args.reload_checkpoint or True:
+    # auto-resume from dump_path/checkpoint when present (reference
+    # `reload_checkpoint`, `xtrainer.py:566-571`); --reload_checkpoint
+    # points at an explicit directory otherwise
+    if args.reload_checkpoint:
+        trainer.state, _ = ckpt.restore_checkpoint(args.reload_checkpoint,
+                                                   trainer.state)
+    else:
         trainer.reload_checkpoint()
     evaluator = Evaluator(model, cfg)
 

@@ -100,3 +100,51 @@ def test_loader_retrieval(tmp_path):
     assert "retrieval_test" in data.eval_data
     t2i, i2t = next(data.train_datasets[("rel", "coco")].epoch_iterator(2))
     assert t2i["tokens"].shape[0] == 4  # 2 groups x sample_n 2
+
+
+def test_train_x_main_end_to_end(tmp_path):
+    """Full CLI run: tiny model, retrieval fine-tune, 1 epoch + eval + resume."""
+    from m3p_tpu.cli.train_x import main
+    from m3p_tpu.data.features import write_feature_shard
+    from m3p_tpu.tokenization.unigram import train_unigram
+
+    vocab = str(tmp_path / "vocab.tsv")
+    train_unigram(["red cat dog runs blue tree house"] * 30,
+                  vocab_size=80).save(vocab)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "coco"
+    root.mkdir()
+    n, r = 6, 4
+    write_feature_shard(
+        str(root / "train.h5"),
+        features=rng.randn(n, r, 2048).astype(np.float32),
+        boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+        num_boxes=np.full(n, r, np.int64),
+        wh=np.full((n, 2), 100, np.float32),
+        image_ids=[f"i{k}" for k in range(n)],
+        objects=rng.randint(0, 1600, (n, r)),
+    )
+    caps = {f"i{k}": ["red cat runs", "blue dog tree"] for k in range(n)}
+    with open(root / "train.en.pkl", "wb") as f:
+        pickle.dump(caps, f)
+    with open(root / "test.en.pkl", "wb") as f:
+        pickle.dump(caps, f)
+
+    argv = [
+        "--data_path", str(tmp_path), "--vocab_path", vocab, "--lgs", "en",
+        "--cross_rel_steps", "coco-img", "--max_region_num", str(r),
+        "--sample_n", "2", "--batch_size", "2", "--max_len", "12",
+        "--emb_dim", "32", "--n_layers", "1", "--n_dec_layers", "1",
+        "--n_heads", "2", "--refine_layers", "1", "--dropout", "0.0",
+        "--attention_dropout", "0.0", "--fp16", "False",
+        "--epoch_size", "4", "--max_epoch", "1",
+        "--dump_path", str(tmp_path / "dump"), "--exp_name", "t",
+        "--exp_id", "1",
+    ]
+    main(argv)
+    dump = tmp_path / "dump" / "t" / "1"
+    assert (dump / "checkpoint").exists()
+    assert (dump / "params.json").exists()
+
+    # eval-only resume path
+    main(argv + ["--eval_only", "True"])
