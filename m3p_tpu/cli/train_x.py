@@ -185,6 +185,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--is_freelb", type=bool_flag, default=False)
     p.add_argument("--free_text", type=bool_flag, default=True)
     p.add_argument("--free_img", type=bool_flag, default=True)
+    p.add_argument("--adv_lr", type=float, default=0.001)
+    p.add_argument("--adv_steps", type=int, default=3)
+    p.add_argument("--adv_max_norm", type=float, default=0.01)
+    p.add_argument("--norm_type", type=str, default="l2")
 
     # TPU-native extensions (no reference equivalent)
     p.add_argument("--mesh_data", type=int, default=-1)
@@ -263,7 +267,10 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         is_understanding=args.is_understanding,
         is_generation=args.is_generation, is_mt=args.is_mt,
         is_ntg=args.is_ntg, is_mild=args.is_mild, is_slide=args.is_slide,
-        is_freelb=args.is_freelb, seed=args.seed,
+        is_freelb=args.is_freelb, ft_all=args.ft_all,
+        qp_type=args.qp_type, seed=args.seed,
+        adv_lr=args.adv_lr, adv_steps=args.adv_steps,
+        adv_max_norm=args.adv_max_norm, norm_type=args.norm_type,
     )
 
 

@@ -229,6 +229,8 @@ class TrainConfig:
     is_mild: bool = False
     is_slide: bool = False
     is_freelb: bool = False
+    ft_all: bool = False    # per-feeder language sharding (`loader.py:187-190`)
+    qp_type: str = "q"      # MILD query / query+passage scoring
     # freeLB adversarial settings (`xtrainer.py:2700-2962`)
     adv_lr: float = 0.001
     adv_steps: int = 3

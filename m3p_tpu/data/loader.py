@@ -99,6 +99,12 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
     clager = _build_clager(cfg, cross_lingual_path
                            or cfg.data.cross_lingual_path)
     langs = list(cfg.lang2id.keys())
+    if cfg.ft_all and len(langs) > 1:
+        # --ft_all: each data feeder fine-tunes a different language
+        # (`loader.py:187-190,444-449`)
+        import jax
+
+        langs = [langs[jax.process_index() % len(langs)]]
 
     # ---- mono text streams (xMLM) -----------------------------------
     for lang, _ in parse_steps(cfg.mlm_steps):
@@ -134,6 +140,18 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
                 stores, caps, tokenizer, sample_n=cfg.data.sample_n,
                 max_len=cfg.data.max_len, clager=clager, lang=lang,
                 seed=cfg.seed)
+        elif cfg.is_mild or name == "mild":
+            # MILD query-based retrieval: train.<lang>.pkl maps
+            # image_id -> [(query, passage), ...]
+            from m3p_tpu.data.datasets import MILDDataset
+
+            queries = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
+            if queries is None:
+                continue
+            out.train_datasets[("rel", name)] = MILDDataset(
+                queries, stores[0], tokenizer, qp_type=cfg.qp_type,
+                lang=lang, sample_n=cfg.data.sample_n,
+                max_len=cfg.data.max_len, clager=clager, seed=cfg.seed)
         else:
             cap_path = os.path.join(root, f"train.{lang}.pkl")
             captions = _load_captions(cap_path)
