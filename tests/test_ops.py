@@ -55,3 +55,28 @@ def test_reference_padding_rows_ignore_masked_keys():
     v2 = v.at[:, :, 5:].set(-99.0)
     out2 = mha_reference(q, k2, v2, mask)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_flash_bwd_matches_xla(qkv):
+    """Fused Pallas dq/dkv kernels vs XLA autodiff (interpret mode)."""
+    from m3p_tpu.ops.attention import flash_attention_bwd
+
+    q, k, v, mask = qkv
+
+    for causal in (False, True):
+        out, l_res, m_res = flash_attention(q, k, v, mask, causal=causal,
+                                            interpret=True,
+                                            return_residuals=True)
+        g = jnp.ones_like(out) * 0.1
+        dq, dk, dv = flash_attention_bwd(q, k, v, mask, out, l_res, m_res, g,
+                                         causal=causal, interpret=True)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: mha_reference(q_, k_, v_, mask, causal=causal),
+            q, k, v)
+        dq_r, dk_r, dv_r = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                                   atol=2e-5, err_msg=f"dq causal={causal}")
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                                   atol=2e-5, err_msg=f"dk causal={causal}")
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
+                                   atol=2e-5, err_msg=f"dv causal={causal}")
