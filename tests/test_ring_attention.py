@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from m3p_tpu.ops.attention import mha_reference
 from m3p_tpu.ops.ring_attention import ring_attention
