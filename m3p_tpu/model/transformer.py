@@ -65,7 +65,8 @@ class M3PModel(nn.Module):
 
         block = EncoderBlock
         if cfg.remat:
-            block = nn.remat(EncoderBlock, static_argnums=(2, 6))
+            # static args: causal (3) and deterministic (7); index 0 is self
+            block = nn.remat(EncoderBlock, static_argnums=(3, 7))
         self.blocks = [
             block(
                 n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,

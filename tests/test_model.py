@@ -127,3 +127,32 @@ def test_image_stream_and_refiner(model_and_params, batch):
     emb = model.apply({"params": params}, feats, locs, imask,
                       method=model.embed_image_regions)
     assert emb.shape == h.shape
+
+
+def test_remat_path_matches_no_remat():
+    """remat=True must produce identical outputs and valid gradients."""
+    import dataclasses
+
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    mcfg = dataclasses.replace(cfg.model, remat=True)
+    model_r = type(model)(mcfg)
+
+    rng = np.random.RandomState(0)
+    B, S, R = 2, 8, 4
+    tokens = jnp.asarray(rng.randint(4, 500, (B, S)), jnp.int32)
+    feats = jnp.asarray(rng.randn(B, R, 2048), jnp.float32)
+    locs = jnp.asarray(rng.rand(B, R, 5), jnp.float32)
+    args = (tokens, jnp.ones((B, S), bool), feats, locs,
+            jnp.ones((B, R), bool))
+    h = model.apply({"params": params}, *args, method=model.encode_joint)
+    h_r = model_r.apply({"params": params}, *args,
+                        method=model_r.encode_joint)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_r), atol=1e-6)
+
+    def loss(p):
+        out = model_r.apply({"params": p}, *args, method=model_r.encode_joint)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
