@@ -254,6 +254,24 @@ class TrainConfig:
         return {v: k for k, v in self.lang2id.items()}
 
 
+def scale_up_config(**overrides: Any) -> TrainConfig:
+    """The v5e-64 pod-slice pre-training preset (BASELINE.json configs[4]):
+    24-layer encoder over the full 100-language XLM-R vocabulary, bf16 with
+    rematerialized blocks, FSDP+TP mesh, long-sequence-ready attention."""
+    model = ModelConfig(
+        n_words=250002, mask_index=250001, n_langs=101, emb_dim=768,
+        n_layers=24, n_dec_layers=12, n_heads=12, max_region_num=100,
+        dtype="bfloat16", remat=True, use_pallas_attention=True,
+    )
+    mesh = MeshConfig(data=-1, fsdp=4, tensor=2)
+    data = DataConfig(lgs="-".join(f"l{i}" for i in range(100)),
+                      batch_size=8, sample_n=4)
+    cfg = TrainConfig(model=model, mesh=mesh, data=data, is_pretrain=True)
+    for k, v in overrides.items():
+        cfg = cfg.replace(**{k: v})
+    return cfg
+
+
 def small_test_config(**overrides: Any) -> TrainConfig:
     """A tiny config for unit tests and CPU dry-runs."""
     model = ModelConfig(

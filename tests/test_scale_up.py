@@ -1,0 +1,74 @@
+"""Scale-up config (24L / 100-language / remat / FSDP+TP): the sharded train
+step must trace and shard correctly on the 8-device mesh (abstract lowering —
+no 390M-param execution in CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p_tpu.config import MeshConfig, scale_up_config
+from m3p_tpu.data.masking import MaskingConfig
+from m3p_tpu.data import synthetic
+from m3p_tpu.model.transformer import M3PModel
+from m3p_tpu.model.__init__ import _init_method
+from m3p_tpu.parallel.mesh import make_mesh
+from m3p_tpu.parallel.sharding import (
+    batch_sharding, get_param_pspecs, logical_to_shardings)
+from m3p_tpu.train import steps as S
+
+
+def test_scale_up_step_lowers_sharded(eight_devices):
+    cfg = scale_up_config()
+    assert cfg.model.n_layers == 24 and cfg.model.n_langs == 101
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=2, tensor=2),
+                     eight_devices)
+    model = M3PModel(cfg.model)
+
+    def abstract_init():
+        b, s, r = 2, 4, 2
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((b, s), jnp.int32),
+                          jnp.ones((b, s), bool),
+                          jnp.zeros((b, r, 2048), jnp.float32),
+                          jnp.zeros((b, r, 5), jnp.float32),
+                          jnp.ones((b, r), bool),
+                          jnp.zeros((b, s), jnp.int32),
+                          method=_init_method)
+
+    pspecs = get_param_pspecs(abstract_init)
+    shardings = logical_to_shardings(pspecs, mesh)
+    # vocab-parallel embedding + tensor-parallel qkv/mlp
+    emb_spec = tuple(shardings["text_emb"]["word"]["embedding"].spec)
+    assert "tensor" in emb_spec
+    assert "block_23" in shardings  # 24 layers present
+
+    # abstract train-step lowering: full MCT step over the sharded state
+    abs_params = jax.eval_shape(abstract_init)["params"]
+    from flax import linen as nn
+
+    abs_params = nn.meta.unbox(abs_params)
+    mask_cfg = MaskingConfig(max_pred=8, n_words=cfg.model.n_words,
+                             mask_index=cfg.model.mask_index)
+    rng = np.random.RandomState(0)
+    batch_np = synthetic.make_pretrain_batch(
+        rng, 2, cfg.data.sample_n, 16, 8, 1000)
+    batch_abs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                 for k, v in batch_np.items()}
+
+    def loss_fn(params, batch, key):
+        return S.mct_pretrain_loss(
+            model, params, batch, key, mask_cfg, cfg.data.sample_n,
+            lambda_rel=1.0, lambda_mlm=1.0, lambda_mrm=1.0,
+            lambda_mrfr=1.0, lambda_clcm=1.0, refine_image=True)
+
+    def grad_step(params, batch, key):
+        (loss, m), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, key), has_aux=True)(params)
+        return loss, grads
+
+    lowered = jax.jit(grad_step).lower(
+        abs_params, batch_abs,
+        jax.ShapeDtypeStruct((2,), jnp.uint32))
+    text = lowered.as_text()
+    assert "dot_general" in text or "dot" in text
