@@ -99,6 +99,11 @@ class ModelConfig:
     dtype: str = "bfloat16"          # activation/compute dtype
     param_dtype: str = "float32"
     use_pallas_attention: bool = True   # fused Pallas flash-attention on TPU
+    # Pallas hw-PRNG residual dropout kernel: measured SLOWER end-to-end at
+    # M3P scale (461 vs 552 samples/s) — standalone elementwise kernels break
+    # XLA fusion and add full-tensor HBM passes; kept for memory-constrained
+    # long-sequence configs where mask regeneration saves activation HBM
+    use_fused_dropout: bool = False
     remat: bool = False              # jax.checkpoint each encoder block
 
     @property

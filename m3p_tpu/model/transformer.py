@@ -73,7 +73,8 @@ class M3PModel(nn.Module):
                 dropout=cfg.dropout, attention_dropout=cfg.attention_dropout,
                 gelu_activation=cfg.gelu_activation, has_cross_attention=True,
                 dtype=dtype, param_dtype=pdtype,
-                use_pallas=cfg.use_pallas_attention, name=f"block_{i}")
+                use_pallas=cfg.use_pallas_attention,
+                fused_dropout=cfg.use_fused_dropout, name=f"block_{i}")
             for i in range(cfg.n_layers)
         ]
 
