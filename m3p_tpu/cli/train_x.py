@@ -268,6 +268,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         is_generation=args.is_generation, is_mt=args.is_mt,
         is_ntg=args.is_ntg, is_mild=args.is_mild, is_slide=args.is_slide,
         is_freelb=args.is_freelb, ft_all=args.ft_all,
+        lg_sampling_factor=args.lg_sampling_factor,
         qp_type=args.qp_type, seed=args.seed,
         adv_lr=args.adv_lr, adv_steps=args.adv_steps,
         adv_max_norm=args.adv_max_norm, norm_type=args.norm_type,

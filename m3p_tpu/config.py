@@ -235,6 +235,7 @@ class TrainConfig:
     is_slide: bool = False
     is_freelb: bool = False
     ft_all: bool = False    # per-feeder language sharding (`loader.py:187-190`)
+    lg_sampling_factor: float = -1.0  # size^coeff task sampling (`utils.py:296`)
     qp_type: str = "q"      # MILD query / query+passage scoring
     # freeLB adversarial settings (`xtrainer.py:2700-2962`)
     adv_lr: float = 0.001

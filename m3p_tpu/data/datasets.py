@@ -261,7 +261,7 @@ class CaptionDataset:
     def __init__(self, captions: Dict[str, List[str]],
                  store: RegionFeatureStore, tokenizer, lang: str = "en",
                  max_len: int = 64, clager: Optional[Clager] = None,
-                 seed: int = 0):
+                 seed: int = 0, region_noise: bool = False):
         self.captions = captions
         self.store = store
         self.tokenizer = tokenizer
@@ -269,6 +269,9 @@ class CaptionDataset:
         self.max_len = max_len
         self.clager = clager
         self.seed = seed
+        # IDA / bart_img: Poisson object-span noise on the input features
+        # (`bart_img_step`, `xtrainer.py:1746`)
+        self.region_noise = region_noise
         self.items: List[Tuple[str, str]] = [
             (img_id, cap) for img_id, caps in captions.items()
             for cap in caps]
@@ -291,13 +294,18 @@ class CaptionDataset:
             tokens, lengths, _ = _encode_padded(self.tokenizer, texts,
                                                 self.max_len)
             region = [self.store.get(self.store.index_of(i)) for i in img_ids]
+            feats = np.stack([r["feats"] for r in region])
+            img_len = np.array([r["mask"].sum() for r in region], np.int32)
+            if self.region_noise:
+                from m3p_tpu.data.span_masking import poisson_region_noise
+
+                feats = poisson_region_noise(rng, feats, img_len)
             yield {
                 "tokens": tokens,
                 "tgt_len": lengths,
-                "feats": np.stack([r["feats"] for r in region]),
+                "feats": feats,
                 "locs": np.stack([r["locs"] for r in region]),
-                "img_len": np.array([r["mask"].sum() for r in region],
-                                    np.int32),
+                "img_len": img_len,
             }
 
 

@@ -262,13 +262,30 @@ class Trainer:
             out.append(("slide", ("slide", a)))
         return out
 
+    def task_sampling_probs(self, tasks) -> Optional[Dict[int, float]]:
+        """Corpus-size-proportional task sampling smoothed by
+        lg_sampling_factor (`set_sampling_probs`, `utils.py:296-320`);
+        None -> uniform shuffling."""
+        coeff = getattr(self.cfg, "lg_sampling_factor", -1.0)
+        if coeff is None or coeff <= 0:
+            return None
+        from m3p_tpu.utils.sampling import set_sampling_probs
+
+        sizes = {}
+        for i, (_, key) in enumerate(tasks):
+            ds = self.datasets.get(key)
+            sizes[i] = len(ds) if ds is not None and hasattr(ds, "__len__") \
+                else 1
+        return set_sampling_probs(sizes, coeff)
+
     def train_epoch(self) -> None:
         tasks = self.active_tasks()
         assert tasks, "no active training tasks configured"
+        probs = self.task_sampling_probs(tasks)
         self.n_sentences = 0
         while self.n_sentences < self.cfg.epoch_size and not self.should_stop:
-            order = shuf_order(list(range(len(tasks))), n=len(tasks),
-                              rng=self.rng)
+            order = shuf_order(list(range(len(tasks))), probs=probs,
+                               n=len(tasks), rng=self.rng)
             for ti in order:
                 kind, task = tasks[ti]
                 self.step_once(kind, task)
