@@ -105,6 +105,10 @@ class ModelConfig:
     # long-sequence configs where mask regeneration saves activation HBM
     use_fused_dropout: bool = False
     remat: bool = False              # jax.checkpoint each encoder block
+    # sequence-parallel mode: name of the mesh axis the sequence dim is
+    # sharded over; self-attention runs ring attention inside shard_map
+    # (see m3p_tpu.parallel.sp)
+    seq_axis: Optional[str] = None
 
     @property
     def ffn_dim(self) -> int:

@@ -64,6 +64,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    seq_axis: Optional[str] = None   # set -> ring attention over this axis
 
     def setup(self) -> None:
         d, pd = self.dtype, self.param_dtype
@@ -121,6 +122,15 @@ class MultiHeadAttention(nn.Module):
                 step_mask = jnp.arange(s_max)[None, :] < (pos + q.shape[2])
                 kv_mask = jnp.broadcast_to(step_mask, (q.shape[0], s_max))
                 causal = False  # cache mask already restricts to <= current pos
+
+        if self.seq_axis is not None and kv is None and cache is None:
+            # sequence-parallel self-attention: q/k/v blocks are local slices
+            # of the seq-sharded activations; ring attention rotates K/V
+            from m3p_tpu.ops.ring_attention import ring_attention
+
+            ctx = ring_attention(q, k, v, kv_mask, self.seq_axis,
+                                 causal=causal)
+            return self.out_lin(self._merge(ctx)), new_cache
 
         use_dropout = (not deterministic) and self.dropout > 0.0
         if use_dropout:
@@ -189,11 +199,12 @@ class EncoderBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = True
     fused_dropout: bool = False  # Pallas hw-PRNG residual dropout on TPU
+    seq_axis: Optional[str] = None
 
     def setup(self) -> None:
         kw = dict(n_heads=self.n_heads, dim=self.dim, dtype=self.dtype,
                   param_dtype=self.param_dtype, use_pallas=self.use_pallas,
-                  dropout=self.attention_dropout)
+                  dropout=self.attention_dropout, seq_axis=self.seq_axis)
         self.attn = MultiHeadAttention(name="attn", **kw)
         self.ln1 = LayerNorm(dtype=self.dtype, name="ln1")
         if self.has_cross_attention:

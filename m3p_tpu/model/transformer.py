@@ -74,7 +74,8 @@ class M3PModel(nn.Module):
                 gelu_activation=cfg.gelu_activation, has_cross_attention=True,
                 dtype=dtype, param_dtype=pdtype,
                 use_pallas=cfg.use_pallas_attention,
-                fused_dropout=cfg.use_fused_dropout, name=f"block_{i}")
+                fused_dropout=cfg.use_fused_dropout,
+                seq_axis=cfg.seq_axis, name=f"block_{i}")
             for i in range(cfg.n_layers)
         ]
 
@@ -211,6 +212,40 @@ class M3PModel(nn.Module):
         x = self.emb_dropout(x, deterministic=deterministic)
 
         x, _ = self._run_blocks(x, joint_mask, deterministic=deterministic)
+        return x
+
+    def embed_joint(
+        self,
+        tokens: jax.Array,
+        text_mask: jax.Array,
+        feats: jax.Array,
+        locs: jax.Array,
+        img_mask: jax.Array,
+        refine_image: bool = False,
+        deterministic: bool = True,
+    ):
+        """The embedding half of encode_joint (everything before the encoder
+        stack) — used by the sequence-parallel path, which shards the
+        resulting (B, R+S, D) activations over the seq axis and runs
+        `run_blocks_only` inside shard_map."""
+        img = self.image_emb(feats, locs, deterministic=deterministic)
+        img = img * img_mask[..., None].astype(img.dtype)
+        if refine_image:
+            img = self.refiner(img, img_mask, deterministic=deterministic)
+        txt = self.text_emb.embed_tokens(tokens)
+        x = jnp.concatenate([img, txt.astype(img.dtype)], axis=1)
+        positions = jnp.arange(x.shape[1])[None, :]
+        x = x + self.text_emb.position(positions)
+        joint_mask = jnp.concatenate([img_mask, text_mask], axis=1)
+        x = x * joint_mask[..., None].astype(x.dtype)
+        x = self.text_emb.ln_emb(x)
+        x = self.emb_dropout(x, deterministic=deterministic)
+        return x, joint_mask
+
+    def run_blocks_only(self, x: jax.Array, pad_mask: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
+        """Encoder stack without cache — the shard_map body for SP."""
+        x, _ = self._run_blocks(x, pad_mask, deterministic=deterministic)
         return x
 
     def decode_image(
