@@ -9,6 +9,9 @@ microbatch, S-1 bubble steps at fill/drain.  The whole pipeline is one jitted,
 differentiable function (ppermute is linear, so jax.grad produces the reverse
 schedule automatically).
 
+Payloads are pytrees: anything the stage function needs to thread through the
+pipe (activations + masks + whatever) flows together.
+
 Use inside `shard_map`:
 
     out = shard_map(
@@ -17,75 +20,166 @@ Use inside `shard_map`:
         in_specs=(P("pp"), P()),     # stage-sliced params, replicated input
         out_specs=P(),
     )(stacked_params, microbatches)
+
+`pipelined_encode_joint` applies this to the M3P encoder: blocks stage-slice
+over the axis, the [img; text] embedding runs replicated, and each microbatch
+streams through the stages.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable
+import dataclasses
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 
 def spmd_pipeline(
-    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    stage_fn: Callable[[Any, Any], Any],
     stage_params: Any,
-    microbatches: jax.Array,     # (n_micro, micro_bs, ...) same on all stages
+    microbatches: Any,           # pytree; leaves (n_micro, micro_bs, ...)
     axis_name: str = "pp",
-) -> jax.Array:
+) -> Any:
     """Run ``stage_fn`` as a pipeline over the ``axis_name`` mesh axis.
 
-    ``stage_params`` are this device's stage parameters (slice the stacked
-    layer params over the axis in shard_map's in_specs; a leading length-1
-    stage dim is squeezed).  Activations must have the same shape/dtype at
-    every stage boundary.  Returns (n_micro, micro_bs, ...) final outputs
-    (identical on all stages).
+    ``stage_params`` is this device's stage slice (leading stage dim from
+    shard_map's P(axis) spec is kept — stage_fn decides how to use it).
+    ``stage_fn(stage_params, payload) -> payload`` must preserve the payload
+    structure/shapes (thread constants through unchanged).  Returns the
+    (n_micro, ...) outputs, identical on all stages.
     """
     n_stages = jax.lax.psum(1, axis_name)
     stage = jax.lax.axis_index(axis_name)
-    # shard_map delivers the stage slice with a leading length-1 axis dim
-    stage_params = jax.tree.map(
-        lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 and
-        x.shape[0] == 1 else x, stage_params)
 
-    n_micro = microbatches.shape[0]
+    leaves = jax.tree.leaves(microbatches)
+    n_micro = leaves[0].shape[0]
     total_steps = n_micro + n_stages - 1
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def _vary(x):
         return jax.lax.pcast(x, (axis_name,), to="varying")
 
-    state = _vary(jnp.zeros_like(microbatches[0]))
-    outputs = _vary(jnp.zeros_like(microbatches))
+    state = jax.tree.map(lambda mb: _vary(jnp.zeros_like(mb[0])),
+                         microbatches)
+    outputs = jax.tree.map(lambda mb: _vary(jnp.zeros_like(mb)),
+                           microbatches)
 
     def body(t, carry):
         state, outputs = carry
         feed_idx = jnp.clip(t, 0, n_micro - 1)
-        inp = jnp.where(stage == 0, microbatches[feed_idx], state)
+        inp = jax.tree.map(
+            lambda mb, st: jnp.where(stage == 0, mb[feed_idx], st),
+            microbatches, state)
         out = stage_fn(stage_params, inp)
         # the last stage finishes microbatch (t - (n_stages - 1)) at step t
         out_t = t - (n_stages - 1)
         valid = jnp.logical_and(stage == n_stages - 1,
                                 jnp.logical_and(out_t >= 0, out_t < n_micro))
         write_idx = jnp.clip(out_t, 0, n_micro - 1)
-        current = jax.lax.dynamic_index_in_dim(outputs, write_idx, 0,
-                                               keepdims=False)
-        new_row = jnp.where(valid, out, current)
-        outputs = jax.lax.dynamic_update_index_in_dim(outputs, new_row,
-                                                      write_idx, 0)
-        state = jax.lax.ppermute(out, axis_name, perm)
+
+        def write(acc, o):
+            current = jax.lax.dynamic_index_in_dim(acc, write_idx, 0,
+                                                   keepdims=False)
+            new_row = jnp.where(valid, o, current)
+            return jax.lax.dynamic_update_index_in_dim(acc, new_row,
+                                                       write_idx, 0)
+
+        outputs = jax.tree.map(write, outputs, out)
+        state = jax.tree.map(
+            lambda o: jax.lax.ppermute(o, axis_name, perm), out)
         return state, outputs
 
     state, outputs = jax.lax.fori_loop(0, total_steps, body, (state, outputs))
-    # outputs live on the last stage only (zeros elsewhere): broadcast by
-    # rotating them one hop (last -> 0) is wrong for >2 stages, so sum over
-    # the axis — all other stages contribute zeros.
-    zero_elsewhere = jnp.where(stage == n_stages - 1, 1.0, 0.0)
-    outputs = outputs * zero_elsewhere.astype(outputs.dtype)
-    return jax.lax.psum(outputs, axis_name)
+    # outputs live on the last stage only (zeros elsewhere) -> psum broadcast
+    gate = jnp.where(stage == n_stages - 1, 1.0, 0.0)
+    outputs = jax.tree.map(
+        lambda o: jax.lax.psum(o * gate.astype(o.dtype), axis_name), outputs)
+    return outputs
 
 
 def stack_stage_params(per_stage_params) -> Any:
     """[stage0_params, stage1_params, ...] -> stacked pytree with a leading
     stage dim (shard over the pp axis with in_specs=P('pp'))."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_stage_params)
+
+
+# ---------------------------------------------------------------------------
+# M3P integration: stage-sliced encoder blocks
+# ---------------------------------------------------------------------------
+
+
+def stack_block_params(params, n_layers: int):
+    """Stack the per-layer ``block_i`` parameter subtrees into one pytree with
+    a leading (n_layers,) dim, ready to shard over the pp axis."""
+    return stack_stage_params([params[f"block_{i}"] for i in range(n_layers)])
+
+
+def pipelined_encode_joint(
+    model,
+    params,
+    tokens: jax.Array,
+    text_mask: jax.Array,
+    feats: jax.Array,
+    locs: jax.Array,
+    img_mask: jax.Array,
+    mesh,
+    axis: str = "pp",
+    n_microbatches: int = 4,
+    refine_image: bool = False,
+    deterministic: bool = True,
+) -> jax.Array:
+    """encode_joint with the encoder stack pipelined over the ``pp`` axis.
+
+    Embedding (incl. [img; text] concat and AoA refine) runs replicated; each
+    pipeline stage holds n_layers/S consecutive blocks and microbatches of
+    the batch stream through them.  Requires B % n_microbatches == 0 and
+    n_layers % S == 0.  Deterministic mode only (dropout seeds would need
+    per-stage plumbing).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from m3p_tpu.model.layers import EncoderBlock
+
+    cfg = model.cfg
+    x, joint_mask = model.apply(
+        {"params": params}, tokens, text_mask, feats, locs, img_mask,
+        refine_image, deterministic, method=model.embed_joint)
+
+    b = x.shape[0]
+    assert b % n_microbatches == 0, (b, n_microbatches)
+    n_stages = mesh.shape[axis]
+    assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
+
+    stacked = stack_block_params(params, cfg.n_layers)
+    mb = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
+    mb_mask = joint_mask.reshape(n_microbatches, b // n_microbatches,
+                                 joint_mask.shape[1])
+
+    block = EncoderBlock(
+        n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
+        dropout=cfg.dropout, attention_dropout=cfg.attention_dropout,
+        gelu_activation=cfg.gelu_activation, has_cross_attention=True,
+        dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.dtype(cfg.param_dtype),
+        use_pallas=False)
+
+    def stage_fn(stage_params, payload):
+        h, mask = payload
+
+        def one_layer(h, layer_params):
+            out, _ = block.apply({"params": layer_params}, h, mask,
+                                 False, None, None, None, True)
+            return out, None
+
+        h, _ = jax.lax.scan(one_layer, h, stage_params)
+        return h, mask
+
+    out_mb, _ = shard_map(
+        lambda p, payload: spmd_pipeline(stage_fn, p, payload, axis),
+        mesh=mesh,
+        in_specs=(P(axis), (P(), P())),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(stacked, (mb, mb_mask))
+    return out_mb.reshape(b, *x.shape[1:])

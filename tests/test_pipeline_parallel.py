@@ -16,9 +16,13 @@ def pp_mesh(eight_devices):
 
 
 def _stage_fn(params, x):
-    """One MLP stage: x @ w1 -> gelu -> @ w2, residual."""
-    h = jax.nn.gelu(x @ params["w1"])
-    return x + h @ params["w2"]
+    """One MLP stage: x @ w1 -> gelu -> @ w2, residual.
+
+    shard_map delivers this stage's params with a leading length-1 stage dim.
+    """
+    w1, w2 = params["w1"][0], params["w2"][0]
+    h = jax.nn.gelu(x @ w1)
+    return x + h @ w2
 
 
 def _make_params(rng, n_stages, d, hidden):
@@ -31,7 +35,8 @@ def _make_params(rng, n_stages, d, hidden):
 
 def _sequential(per_stage, x):
     for p in per_stage:
-        x = _stage_fn(p, x)
+        h = jax.nn.gelu(x @ p["w1"])
+        x = x + h @ p["w2"]
     return x
 
 
@@ -84,3 +89,33 @@ def test_pipeline_gradients(pp_mesh):
     for k in ("w1", "w2"):
         np.testing.assert_allclose(np.asarray(g_pp[k]),
                                    np.asarray(g_seq_stacked[k]), atol=1e-5)
+
+
+def test_pipelined_encode_joint_matches(pp_mesh):
+    """The PP-sliced M3P encoder must equal the plain joint encoder."""
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+    from m3p_tpu.parallel.pipeline import pipelined_encode_joint
+
+    cfg = small_test_config()  # 2 layers
+    # 4-stage mesh needs n_layers % 4 == 0 -> use a 4-layer variant
+    import dataclasses
+
+    mcfg = dataclasses.replace(cfg.model, n_layers=4)
+    model, params = build_model(mcfg, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    B, S, R = 8, 12, 8
+    tokens = jnp.asarray(rng.randint(4, 500, (B, S)), jnp.int32)
+    text_mask = jnp.asarray(
+        np.arange(S)[None, :] < rng.randint(6, S + 1, (B, 1)))
+    feats = jnp.asarray(rng.randn(B, R, 2048), jnp.float32)
+    locs = jnp.asarray(rng.rand(B, R, 5), jnp.float32)
+    img_mask = jnp.ones((B, R), bool)
+
+    ref = model.apply({"params": params}, tokens, text_mask, feats, locs,
+                      img_mask, method=model.encode_joint)
+    out = pipelined_encode_joint(model, params, tokens, text_mask, feats,
+                                 locs, img_mask, pp_mesh,
+                                 n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
