@@ -91,6 +91,19 @@ def retrieval_grid_scores(
     return out.reshape(n_img, n_cap)
 
 
+def merge_process_scores(scores: np.ndarray) -> np.ndarray:
+    """Merge per-process partial score matrices (unscored entries are 0) by
+    summation across hosts — the multihost replacement for the reference's
+    per-rank .npy dumps + offline merge (`xevaluator.py:1616-1619`).
+    No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return scores
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(scores)).sum(axis=0))
+
+
 def recall_at_k(
     scores: np.ndarray,          # (n_img, n_cap)
     cap_to_img: np.ndarray,      # (n_cap,) ground-truth image per caption

@@ -133,3 +133,26 @@ def test_run_all_evals(world):
         assert key in scores, key
         assert np.isfinite(scores[key]), (key, scores[key])
     assert 0 <= scores["mean_recall"] <= 100
+
+
+def test_trainer_task_sampling(world):
+    """lg_sampling_factor weights task order by corpus size."""
+    cfg, model, params, tokenizer, store, captions = world
+    from m3p_tpu.data.datasets import CaptionDataset, RetrievalDataset
+
+    cfg2 = cfg.replace(lg_sampling_factor=0.5)
+    datasets = {
+        ("rel", "coco"): RetrievalDataset(
+            captions, store, tokenizer, sample_n=cfg.data.sample_n,
+            max_len=cfg.data.max_len),
+        ("ic", "coco"): CaptionDataset(captions, store, tokenizer,
+                                       max_len=cfg.data.max_len),
+    }
+    trainer = Trainer(cfg2, model, jax.tree.map(jnp.array, params), datasets)
+    tasks = trainer.active_tasks()
+    probs = trainer.task_sampling_probs(tasks)
+    assert probs is not None and abs(sum(probs.values()) - 1.0) < 1e-9
+    # CaptionDataset has 3x the items (3 captions/image) -> higher prob
+    sizes = {i: len(datasets[key]) for i, (_, key) in enumerate(tasks)}
+    big = max(sizes, key=sizes.get)
+    assert probs[big] == max(probs.values())
