@@ -105,6 +105,9 @@ class ModelConfig:
     # long-sequence configs where mask regeneration saves activation HBM
     use_fused_dropout: bool = False
     remat: bool = False              # jax.checkpoint each encoder block
+    # int8-quantized FFN GEMMs (v5e int8 MXU, straight-through gradients);
+    # "none" | "int8" — a training-mode choice with no reference equivalent
+    ffn_quant: str = "none"
     # sequence-parallel mode: name of the mesh axis the sequence dim is
     # sharded over; self-attention runs ring attention inside shard_map
     # (see m3p_tpu.parallel.sp)

@@ -160,9 +160,39 @@ class MultiHeadAttention(nn.Module):
         return out, new_cache
 
 
+class QuantDense(nn.Module):
+    """Dense with the GEMM routed through the int8 MXU path — identical
+    parameter structure/naming to nn.Dense (checkpoint-compatible)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    logical_axes: tuple = ("embed", "mlp")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from m3p_tpu.ops.quant import int8_matmul
+
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(nn.initializers.lecun_normal(),
+                                         self.logical_axes),
+            (x.shape[-1], self.features), self.param_dtype)
+        bias = self.param(
+            "bias",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                         self.logical_axes[-1:]),
+            (self.features,), self.param_dtype)
+        y = int8_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class TransformerFFN(nn.Module):
     """2-layer MLP, erf-GELU, dropout after the output projection
-    (`transformer.py:213-227`)."""
+    (`transformer.py:213-227`).
+
+    ``quant="int8"`` routes both GEMMs through the int8 MXU path
+    (`m3p_tpu.ops.quant`) — 2x peak on v5e, straight-through gradients."""
 
     dim: int
     hidden_dim: int
@@ -170,15 +200,24 @@ class TransformerFFN(nn.Module):
     gelu_activation: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  skip_dropout: bool = False) -> jax.Array:
-        h = _dense(self.hidden_dim, self.dtype, self.param_dtype,
-                   "lin1", ("embed", "mlp"))(x)
+        if self.quant == "int8":
+            lin1 = QuantDense(self.hidden_dim, self.dtype, self.param_dtype,
+                              ("embed", "mlp"), name="lin1")
+            lin2 = QuantDense(self.dim, self.dtype, self.param_dtype,
+                              ("mlp", "embed"), name="lin2")
+        else:
+            lin1 = _dense(self.hidden_dim, self.dtype, self.param_dtype,
+                          "lin1", ("embed", "mlp"))
+            lin2 = _dense(self.dim, self.dtype, self.param_dtype,
+                          "lin2", ("mlp", "embed"))
+        h = lin1(x)
         h = gelu_erf(h) if self.gelu_activation else jax.nn.relu(h)
-        h = _dense(self.dim, self.dtype, self.param_dtype,
-                   "lin2", ("mlp", "embed"))(h)
+        h = lin2(h)
         if not skip_dropout:
             h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         return h
@@ -200,6 +239,7 @@ class EncoderBlock(nn.Module):
     use_pallas: bool = True
     fused_dropout: bool = False  # Pallas hw-PRNG residual dropout on TPU
     seq_axis: Optional[str] = None
+    ffn_quant: str = "none"
 
     def setup(self) -> None:
         kw = dict(n_heads=self.n_heads, dim=self.dim, dtype=self.dtype,
@@ -213,7 +253,7 @@ class EncoderBlock(nn.Module):
         self.ffn = TransformerFFN(
             dim=self.dim, hidden_dim=self.ffn_dim, dropout=self.dropout,
             gelu_activation=self.gelu_activation, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="ffn")
+            param_dtype=self.param_dtype, quant=self.ffn_quant, name="ffn")
         self.ln2 = LayerNorm(dtype=self.dtype, name="ln2")
         self.res_dropout = nn.Dropout(rate=self.dropout)
 

@@ -75,7 +75,8 @@ class M3PModel(nn.Module):
                 dtype=dtype, param_dtype=pdtype,
                 use_pallas=cfg.use_pallas_attention,
                 fused_dropout=cfg.use_fused_dropout,
-                seq_axis=cfg.seq_axis, name=f"block_{i}")
+                seq_axis=cfg.seq_axis, ffn_quant=cfg.ffn_quant,
+                name=f"block_{i}")
             for i in range(cfg.n_layers)
         ]
 
