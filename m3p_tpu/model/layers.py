@@ -169,9 +169,11 @@ class QuantDense(nn.Module):
     param_dtype: Dtype = jnp.float32
     logical_axes: tuple = ("embed", "mlp")
 
+    quant_bwd: bool = False   # int8 dgrad/wgrad as well
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from m3p_tpu.ops.quant import int8_matmul
+        from m3p_tpu.ops.quant import int8_matmul, int8_matmul_qbwd
 
         kernel = self.param(
             "kernel",
@@ -183,7 +185,14 @@ class QuantDense(nn.Module):
             nn.with_logical_partitioning(nn.initializers.zeros_init(),
                                          self.logical_axes[-1:]),
             (self.features,), self.param_dtype)
-        y = int8_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        if self.quant_bwd:
+            x2d = xc.reshape(-1, xc.shape[-1])
+            y = int8_matmul_qbwd(x2d, kc).reshape(*xc.shape[:-1],
+                                                  self.features)
+        else:
+            y = int8_matmul(xc, kc)
         return y + bias.astype(self.dtype)
 
 
@@ -205,11 +214,12 @@ class TransformerFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  skip_dropout: bool = False) -> jax.Array:
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8_bwd"):
+            qb = self.quant == "int8_bwd"
             lin1 = QuantDense(self.hidden_dim, self.dtype, self.param_dtype,
-                              ("embed", "mlp"), name="lin1")
+                              ("embed", "mlp"), qb, name="lin1")
             lin2 = QuantDense(self.dim, self.dtype, self.param_dtype,
-                              ("mlp", "embed"), name="lin2")
+                              ("mlp", "embed"), qb, name="lin2")
         else:
             lin1 = _dense(self.hidden_dim, self.dtype, self.param_dtype,
                           "lin1", ("embed", "mlp"))

@@ -70,3 +70,48 @@ def _int8_matmul_bwd(res, g):
 
 
 int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fully-quantized variant: int8 dgrad/wgrad as well (2/3 of GEMM FLOPs are in
+# the backward — the fwd-only variant measured perf-neutral end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_axis(x: jax.Array, axis: int):
+    """Symmetric int8 along ``axis`` (scales on the complementary dims)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@jax.custom_vjp
+def int8_matmul_qbwd(x: jax.Array, w: jax.Array) -> jax.Array:
+    """int8 forward AND int8 dgrad/wgrad (straight-through w.r.t. the
+    quantizers).  x must be 2-D (callers flatten leading dims)."""
+    return _int8_forward(x, w)
+
+
+def _int8_qbwd_fwd(x, w):
+    return _int8_forward(x, w), (x, w)
+
+
+def _int8_qbwd_bwd(res, g):
+    x, w = res
+    # dx[m,k] = sum_n g[m,n] w[k,n] : quantize g per-row, w per-row (axis 1)
+    gq, sg = _quantize_axis(g, 1)          # (M,N), scale (M,1)
+    wq_r, sw_r = _quantize_axis(w, 1)      # (K,N), scale (K,1)
+    dx = jax.lax.dot_general(gq, wq_r, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dx = (dx.astype(jnp.float32) * sg * sw_r.T).astype(x.dtype)
+    # dw[k,n] = sum_m x[m,k] g[m,n] : quantize both along the batch dim
+    xq_c, sx_c = _quantize_axis(x, 0)      # (M,K), scale (1,K)
+    gq_c, sg_c = _quantize_axis(g, 0)      # (M,N), scale (1,N)
+    dw = jax.lax.dot_general(xq_c, gq_c, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dw = (dw.astype(jnp.float32) * sx_c.T * sg_c).astype(w.dtype)
+    return dx, dw
+
+
+int8_matmul_qbwd.defvjp(_int8_qbwd_fwd, _int8_qbwd_bwd)

@@ -50,3 +50,21 @@ def test_quant_ffn_param_compatibility():
     rel = float(jnp.linalg.norm(out_q - out)
                 / jnp.maximum(jnp.linalg.norm(out), 1e-6))
     assert rel < 0.05, rel
+
+
+def test_int8_qbwd_matmul():
+    from m3p_tpu.ops.quant import int8_matmul_qbwd
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(32, 24), jnp.float32)
+    w = jnp.asarray(rng.randn(24, 16) * 0.2, jnp.float32)
+    out = int8_matmul_qbwd(x, w)
+    rel = float(jnp.linalg.norm(out - x @ w) / jnp.linalg.norm(x @ w))
+    assert rel < 0.02, rel
+    g = jnp.asarray(rng.randn(32, 16), jnp.float32)
+    _, vjp = jax.vjp(int8_matmul_qbwd, x, w)
+    dx, dw = vjp(g)
+    rel_dx = float(jnp.linalg.norm(dx - g @ w.T) / jnp.linalg.norm(g @ w.T))
+    rel_dw = float(jnp.linalg.norm(dw - x.T @ g) / jnp.linalg.norm(x.T @ g))
+    assert rel_dx < 0.03, rel_dx
+    assert rel_dw < 0.03, rel_dw
