@@ -304,6 +304,18 @@ def main(argv=None) -> None:
     if args.reload_model:
         loaded = ckpt.load_reference_checkpoint(
             args.reload_model, cfg.model.n_layers, cfg.model.refine_layers)
+        if args.multi_reload_model:
+            # ensemble blend: 0.6 * primary + 0.4 * mean(secondaries)
+            # (`model/__init__.py:107-123`)
+            paths = [p for p in args.multi_reload_model.split(",") if p]
+            secondaries = [ckpt.load_reference_checkpoint(
+                p, cfg.model.n_layers, cfg.model.refine_layers)
+                for p in paths]
+            secondary = ckpt.average_checkpoints(secondaries)
+            loaded = ckpt.average_checkpoints([loaded, secondary],
+                                              weights=[0.6, 0.4])
+            logger.info("blended %d secondary checkpoints (0.6/0.4)",
+                        len(paths))
         params = ckpt.merge_params(params, loaded)
         logger.info("reloaded model weights from %s", args.reload_model)
     trainer = Trainer(cfg, model, params, data.train_datasets)
