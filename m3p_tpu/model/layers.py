@@ -65,13 +65,25 @@ class MultiHeadAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = True
     seq_axis: Optional[str] = None   # set -> ring attention over this axis
+    quant: str = "none"              # "int8_bwd" -> quantized projections
 
     def setup(self) -> None:
         d, pd = self.dtype, self.param_dtype
-        self.q_lin = _dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))
-        self.k_lin = _dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))
-        self.v_lin = _dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))
-        self.out_lin = _dense(self.dim, d, pd, "out_lin", ("qkv", "embed"))
+        if self.quant == "int8_bwd":
+            self.q_lin = QuantDense(self.dim, d, pd, ("embed", "qkv"), True,
+                                    name="q_lin")
+            self.k_lin = QuantDense(self.dim, d, pd, ("embed", "qkv"), True,
+                                    name="k_lin")
+            self.v_lin = QuantDense(self.dim, d, pd, ("embed", "qkv"), True,
+                                    name="v_lin")
+            self.out_lin = QuantDense(self.dim, d, pd, ("qkv", "embed"), True,
+                                      name="out_lin")
+        else:
+            self.q_lin = _dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))
+            self.k_lin = _dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))
+            self.v_lin = _dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))
+            self.out_lin = _dense(self.dim, d, pd, "out_lin",
+                                  ("qkv", "embed"))
         self.attn_dropout = nn.Dropout(rate=self.dropout)
 
     def _split(self, x: jax.Array) -> jax.Array:
@@ -214,8 +226,8 @@ class TransformerFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  skip_dropout: bool = False) -> jax.Array:
-        if self.quant in ("int8", "int8_bwd"):
-            qb = self.quant == "int8_bwd"
+        if self.quant in ("int8", "int8_bwd", "int8_all"):
+            qb = self.quant in ("int8_bwd", "int8_all")
             lin1 = QuantDense(self.hidden_dim, self.dtype, self.param_dtype,
                               ("embed", "mlp"), qb, name="lin1")
             lin2 = QuantDense(self.dim, self.dtype, self.param_dtype,
@@ -252,9 +264,11 @@ class EncoderBlock(nn.Module):
     ffn_quant: str = "none"
 
     def setup(self) -> None:
+        attn_quant = "int8_bwd" if self.ffn_quant == "int8_all" else "none"
         kw = dict(n_heads=self.n_heads, dim=self.dim, dtype=self.dtype,
                   param_dtype=self.param_dtype, use_pallas=self.use_pallas,
-                  dropout=self.attention_dropout, seq_axis=self.seq_axis)
+                  dropout=self.attention_dropout, seq_axis=self.seq_axis,
+                  quant=attn_quant)
         self.attn = MultiHeadAttention(name="attn", **kw)
         self.ln1 = LayerNorm(dtype=self.dtype, name="ln1")
         if self.has_cross_attention:
