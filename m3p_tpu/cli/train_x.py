@@ -242,7 +242,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
     return TrainConfig(
         exp_name=args.exp_name, exp_id=args.exp_id, dump_path=args.dump_path,
         model=model, optim=optim, mesh=mesh, data=data, eval=ev,
-        mlm_steps=args.mlm_steps,
+        mlm_steps=args.mlm_steps, clm_steps=args.clm_steps,
         cross_mlm_steps=args.cross_mlm_steps,
         cross_mrm_steps=args.cross_mrm_steps,
         cross_mrfr_steps=args.cross_mrfr_steps,

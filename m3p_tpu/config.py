@@ -206,6 +206,7 @@ class TrainConfig:
 
     # task step lists (parity DSL, `loader.py:93-104`)
     mlm_steps: str = ""
+    clm_steps: str = ""
     cross_rel_steps: str = ""
     cross_mlm_steps: str = ""
     cross_mrm_steps: str = ""

@@ -54,6 +54,17 @@ class Evaluator:
         mean = float(np.mean(losses)) if losses else float("nan")
         return {"mlm_ppl": float(np.exp(min(mean, 30.0))), "mlm_loss": mean}
 
+    def evaluate_clm(self, params, batches: Iterable[Dict]) -> Dict[str, float]:
+        key = jax.random.PRNGKey(EVAL_SEED)
+        losses = []
+        for b in batches:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            loss, _ = S.clm_loss(self.model, params, b, key,
+                                 deterministic=True)
+            losses.append(float(loss))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        return {"clm_ppl": float(np.exp(min(mean, 30.0))), "clm_loss": mean}
+
     def evaluate_seq2seq(self, params, batches: Iterable[Dict],
                          multimodal: bool = False, name: str = "mt"
                          ) -> Dict[str, float]:
@@ -218,6 +229,8 @@ class Evaluator:
         scores: Dict[str, float] = {}
         if "mlm_batches" in eval_data:
             scores.update(self.evaluate_mlm(params, eval_data["mlm_batches"]))
+        if "clm_batches" in eval_data:
+            scores.update(self.evaluate_clm(params, eval_data["clm_batches"]))
         if "mt_batches" in eval_data:
             scores.update(self.evaluate_seq2seq(params,
                                                 eval_data["mt_batches"]))

@@ -94,6 +94,29 @@ def seq2seq_ce(model: M3PModel, params, src_enc, src_mask, tgt_tokens,
 # ---------------------------------------------------------------------------
 
 
+def clm_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
+             deterministic: bool = False) -> Tuple[jax.Array, Metrics]:
+    """Causal LM on text streams (`clm_steps` / `evaluate_clm` — XLM heritage
+    kept in the reference CLI surface): causal self-attention over the
+    sequence, next-token CE."""
+    tokens = batch["tokens"]
+    text_mask = lengths_to_mask(batch["lengths"], tokens.shape[1])
+    x, y = tokens[:, :-1], tokens[:, 1:]
+    y_mask = text_mask[:, 1:].astype(jnp.float32)
+    hidden, _ = model.apply(
+        {"params": params}, x, text_mask[:, :-1], batch.get("langs"),
+        None, True, method=model.encode_text,
+        rngs={"dropout": rng}, deterministic=deterministic)
+    logits = model.apply({"params": params}, hidden,
+                         method=model.word_logits)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), y)
+    denom = jnp.maximum(jnp.sum(y_mask), 1.0)
+    loss = jnp.sum(ce * y_mask) / denom
+    acc = jnp.sum((jnp.argmax(logits, -1) == y) * y_mask) / denom
+    return loss, {"clm": loss, "acc": acc}
+
+
 def mlm_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
              mask_cfg: MaskingConfig, deterministic: bool = False
              ) -> Tuple[jax.Array, Metrics]:

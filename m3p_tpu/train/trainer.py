@@ -110,6 +110,10 @@ class Trainer:
             def loss_fn(p, b, key, **lam):
                 loss, m = S.mlm_loss(model, p, b, key, self.mask_cfg)
                 return lam.get("lambda_mlm", 1.0) * loss, m
+        elif kind == "clm":
+            def loss_fn(p, b, key, **lam):
+                loss, m = S.clm_loss(model, p, b, key)
+                return lam.get("lambda_clm", 1.0) * loss, m
         elif kind in ("rel", "pretrain_rel"):
             if kind == "rel":
                 def loss_fn(p, b, key, **lam):
@@ -249,6 +253,8 @@ class Trainer:
 
         for lang, _ in parse_steps(self.cfg.mlm_steps):
             out.append(("mlm", ("mlm", lang)))
+        for lang, _ in parse_steps(getattr(self.cfg, "clm_steps", "")):
+            out.append(("clm", ("clm", lang)))
         kind = "pretrain_rel" if self.cfg.is_pretrain else "rel"
         for ds, mod in parse_steps(self.cfg.cross_rel_steps):
             out.append((kind, ("rel", ds)))

@@ -176,3 +176,15 @@ def test_skip_nonfinite_guard():
     bad = {"w": jnp.array([1.0, float("nan"), 1.0])}
     upd, state = tx.update(bad, state, params)
     assert float(jnp.abs(upd["w"]).max()) == 0.0
+
+
+def test_clm_step(setup):
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(7)
+    batch = _np_batch(synthetic.make_stream_batch(rng, 4, 16,
+                                                  cfg.model.n_words))
+    step = S.make_train_step(
+        lambda p, b, k: S.clm_loss(model, p, b, k), donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["clm"]))
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
