@@ -152,6 +152,14 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
                 queries, stores[0], tokenizer, qp_type=cfg.qp_type,
                 lang=lang, sample_n=cfg.data.sample_n,
                 max_len=cfg.data.max_len, clager=clager, seed=cfg.seed)
+            test_q = _load_captions(os.path.join(root, f"test.{lang}.pkl"))
+            if test_q:
+                mild_eval = MILDDataset(test_q, stores[0], tokenizer,
+                                        qp_type=cfg.qp_type, lang=lang)
+                out.eval_data["retrieval_test"] = \
+                    build_eval_retrieval_arrays(
+                        mild_eval.captions, stores[0], tokenizer,
+                        max_len=cfg.data.max_len, caps_per_image=1)
         else:
             cap_path = os.path.join(root, f"train.{lang}.pkl")
             captions = _load_captions(cap_path)
