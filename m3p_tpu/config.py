@@ -60,9 +60,12 @@ def parse_steps(steps: str) -> List[Tuple[str, Optional[str]]]:
     return out
 
 
-@dataclass
+@dataclass(unsafe_hash=True)
 class ModelConfig:
     """Architecture of the unified multimodal encoder/decoder.
+
+    Hashable (unsafe_hash) so flax modules built from it can serve as static
+    jit arguments (e.g. the cached eval chunk scorer).
 
     Mirrors the reference `TransformerModel` hyperparameters
     (`transformer.py:610-729`); defaults are the published fine-tune recipe

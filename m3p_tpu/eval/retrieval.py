@@ -25,6 +25,10 @@ import numpy as np
 from m3p_tpu.model.transformer import lengths_to_mask
 
 
+# module-level jit keyed on the (hashable) flax module config so repeated
+# retrieval_grid_scores calls reuse the compiled chunk scorer instead of
+# recompiling (a fresh jax.jit wrapper per call defeats the jit cache)
+@functools.partial(jax.jit, static_argnames=("model", "refine_image"))
 def _score_chunk(model, params, tokens, text_len, feats, locs, img_len,
                  refine_image):
     text_mask = lengths_to_mask(text_len, tokens.shape[1])
@@ -61,9 +65,10 @@ def retrieval_grid_scores(
     n_img = img_feats.shape[0]
     n_pairs = n_img * n_cap
 
-    score_fn = jax.jit(
-        functools.partial(_score_chunk, model),
-        static_argnames=("refine_image",))
+    def score_fn(params, tokens, text_len, feats, locs, img_len,
+                 refine_image):
+        return _score_chunk(model, params, tokens, text_len, feats, locs,
+                            img_len, refine_image)
 
     params_dev = params
     out = np.zeros((n_pairs,), np.float32)
