@@ -27,12 +27,21 @@ from m3p_tpu.model.transformer import lengths_to_mask
 
 # module-level jit keyed on the (hashable) flax module config so repeated
 # retrieval_grid_scores calls reuse the compiled chunk scorer instead of
-# recompiling (a fresh jax.jit wrapper per call defeats the jit cache)
+# recompiling (a fresh jax.jit wrapper per call defeats the jit cache).
+# The caption pool and UNIQUE image features live on-device; each chunk ships
+# only two small index vectors and gathers its (caption, image) pairs there —
+# replicating the 100x2048 region features per pair on host and re-uploading
+# them every chunk costs ~0.5 GB/chunk of host->device traffic.
 @functools.partial(jax.jit, static_argnames=("model", "refine_image"))
-def _score_chunk(model, params, tokens, text_len, feats, locs, img_len,
-                 refine_image):
+def _score_chunk(model, params, cap_tokens, cap_len, img_feats, img_locs,
+                 img_len, cap_idx, img_idx, refine_image):
+    tokens = jnp.take(cap_tokens, cap_idx, axis=0)
+    text_len = jnp.take(cap_len, cap_idx, axis=0)
+    feats = jnp.take(img_feats, img_idx, axis=0)
+    locs = jnp.take(img_locs, img_idx, axis=0)
+    ilen = jnp.take(img_len, img_idx, axis=0)
     text_mask = lengths_to_mask(text_len, tokens.shape[1])
-    img_mask = lengths_to_mask(img_len, feats.shape[1])
+    img_mask = lengths_to_mask(ilen, feats.shape[1])
     hidden = model.apply({"params": params}, tokens, text_mask, feats, locs,
                          img_mask, refine_image, method=model.encode_joint)
     scores = model.apply({"params": params}, hidden, method=model.itm_score)
@@ -65,12 +74,13 @@ def retrieval_grid_scores(
     n_img = img_feats.shape[0]
     n_pairs = n_img * n_cap
 
-    def score_fn(params, tokens, text_len, feats, locs, img_len,
-                 refine_image):
-        return _score_chunk(model, params, tokens, text_len, feats, locs,
-                            img_len, refine_image)
+    # stage the caption pool + unique image features on device ONCE
+    cap_tokens_d = jnp.asarray(cap_tokens)
+    cap_len_d = jnp.asarray(cap_len)
+    img_feats_d = jnp.asarray(img_feats)
+    img_locs_d = jnp.asarray(img_locs)
+    img_len_d = jnp.asarray(img_len)
 
-    params_dev = params
     out = np.zeros((n_pairs,), np.float32)
     all_starts = list(range(0, n_pairs, chunk_size))
     my_starts = all_starts[process_index::process_count]
@@ -79,19 +89,11 @@ def retrieval_grid_scores(
         pad = chunk_size - idx.size
         ii = np.concatenate([idx // n_cap, np.zeros(pad, np.int64)])
         ci = np.concatenate([idx % n_cap, np.zeros(pad, np.int64)])
-        batch = dict(
-            tokens=jnp.asarray(cap_tokens[ci]),
-            text_len=jnp.asarray(cap_len[ci]),
-            feats=jnp.asarray(img_feats[ii]),
-            locs=jnp.asarray(img_locs[ii]),
-            img_len=jnp.asarray(img_len[ii]),
-        )
-        if batch_sharding is not None:
-            batch = {k: jax.device_put(v, batch_sharding)
-                     for k, v in batch.items()}
-        s = score_fn(params_dev, batch["tokens"], batch["text_len"],
-                     batch["feats"], batch["locs"], batch["img_len"],
-                     refine_image=refine_image)
+        s = _score_chunk(model, params, cap_tokens_d, cap_len_d, img_feats_d,
+                         img_locs_d, img_len_d,
+                         jnp.asarray(ci, jnp.int32),
+                         jnp.asarray(ii, jnp.int32),
+                         refine_image=refine_image)
         out[idx] = np.asarray(s)[: idx.size]
     return out.reshape(n_img, n_cap)
 
