@@ -290,7 +290,11 @@ def main(argv=None) -> None:
     cfg = args_to_config(args)
     logger = initialize_exp(cfg, jax.process_index())
 
-    data = load_data(cfg)
+    data = load_data(cfg, dataset_paths={
+        "coco": args.coco_path, "flicker": args.flicker_path,
+        "google": args.google_path, "sbu": args.sbu_path,
+        "mild": args.mild_path, "slide": args.slide_path,
+    })
     if data.tokenizer is not None:
         # vocab size / mask id come from the tokenizer (reference
         # `check_data_params`, `loader.py:147-153`)

@@ -78,18 +78,20 @@ def _build_clager(cfg: TrainConfig, paths_root: str) -> Optional[Clager]:
     return Clager(lexicon, cfg.data.mct_sent_ratio, cfg.data.mct_word_ratio)
 
 
-def _dataset_root(cfg: TrainConfig, name: str) -> str:
-    return {
-        "coco": os.path.join(cfg.data.data_path, "coco"),
-        "flicker": os.path.join(cfg.data.data_path, "flicker"),
-        "google": os.path.join(cfg.data.data_path, "google"),
-        "sbu": os.path.join(cfg.data.data_path, "sbu"),
-        "mild": os.path.join(cfg.data.data_path, "mild"),
-        "slide": os.path.join(cfg.data.data_path, "slide"),
-    }.get(name, os.path.join(cfg.data.data_path, name))
+def _dataset_root(cfg: TrainConfig, name: str,
+                  overrides: Optional[Dict[str, str]] = None) -> str:
+    """Per-dataset root: explicit path flags (--coco_path etc.,
+    `train_x.py`) win over data_path/<name>."""
+    if overrides and overrides.get(name):
+        return overrides[name]
+    return os.path.join(cfg.data.data_path, name)
 
 
-def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
+def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
+              dataset_paths: Optional[Dict[str, str]] = None) -> LoadedData:
+    """``dataset_paths``: optional {name: root} overrides (the reference's
+    --coco_path/--flicker_path/--google_path/--sbu_path/--mild_path/
+    --slide_path flags)."""
     out = LoadedData()
     tokenizer = _load_tokenizer(cfg)
     out.tokenizer = tokenizer
@@ -123,7 +125,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
 
     # ---- retrieval / pretraining ------------------------------------
     for name, _mod in parse_steps(cfg.cross_rel_steps):
-        root = _dataset_root(cfg, name)
+        root = _dataset_root(cfg, name, dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
         if not h5s:
             logger.warning("no feature shards under %s", root)
@@ -178,7 +180,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
 
     # ---- captioning --------------------------------------------------
     for name, _mod in parse_steps(cfg.cross_ic_steps):
-        root = _dataset_root(cfg, name)
+        root = _dataset_root(cfg, name, dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
         lang = langs[0]
         captions = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
@@ -212,7 +214,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "") -> LoadedData:
 
     # ---- slide -------------------------------------------------------
     for name, _mod in parse_steps(cfg.slide_steps):
-        root = _dataset_root(cfg, "slide")
+        root = _dataset_root(cfg, "slide", dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
         items_path = os.path.join(root, "train.tsv")
         if not h5s or not os.path.exists(items_path):

@@ -231,6 +231,15 @@ class Evaluator:
             scores.update(self.evaluate_mlm(params, eval_data["mlm_batches"]))
         if "clm_batches" in eval_data:
             scores.update(self.evaluate_clm(params, eval_data["clm_batches"]))
+        if "mass_batches" in eval_data:
+            key = jax.random.PRNGKey(EVAL_SEED)
+            losses = [float(S.mass_loss(self.model, params,
+                                        {k: jnp.asarray(v)
+                                         for k, v in b.items()},
+                                        key, deterministic=True)[0])
+                      for b in eval_data["mass_batches"]]
+            mean = float(np.mean(losses)) if losses else float("nan")
+            scores["mass_ppl"] = float(np.exp(min(mean, 30.0)))
         if "mt_batches" in eval_data:
             scores.update(self.evaluate_seq2seq(params,
                                                 eval_data["mt_batches"]))
