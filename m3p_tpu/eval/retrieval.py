@@ -84,6 +84,9 @@ def retrieval_grid_scores(
     out = np.zeros((n_pairs,), np.float32)
     all_starts = list(range(0, n_pairs, chunk_size))
     my_starts = all_starts[process_index::process_count]
+    # dispatch every chunk asynchronously, materialize once at the end — a
+    # per-chunk host sync would stall the device between chunks
+    pending = []
     for start in my_starts:
         idx = np.arange(start, min(start + chunk_size, n_pairs))
         pad = chunk_size - idx.size
@@ -94,6 +97,8 @@ def retrieval_grid_scores(
                          jnp.asarray(ci, jnp.int32),
                          jnp.asarray(ii, jnp.int32),
                          refine_image=refine_image)
+        pending.append((idx, s))
+    for idx, s in pending:
         out[idx] = np.asarray(s)[: idx.size]
     return out.reshape(n_img, n_cap)
 
