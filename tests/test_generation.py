@@ -90,3 +90,22 @@ def test_beam_size_one_close_to_greedy(setup):
     for i in range(g.shape[0]):
         n = min(int(gl[i]), int(bl[i]))
         np.testing.assert_array_equal(g[i, :n], bm[i, :n])
+
+
+def test_greedy_no_lang_embedding(setup):
+    """langs=None path (single-language models)."""
+    cfg, model, params, src_enc, src_mask = setup
+    toks, lens = greedy_generate(model, params, src_enc, src_mask, 8,
+                                 tgt_lang_id=None)
+    assert toks.shape == (3, 8)
+
+
+def test_sampled_generation_differs_by_key(setup):
+    cfg, model, params, src_enc, src_mask = setup
+    t1, _ = greedy_generate(model, params, src_enc, src_mask, 10,
+                            tgt_lang_id=0, temperature=1.5,
+                            rng=jax.random.PRNGKey(0))
+    t2, _ = greedy_generate(model, params, src_enc, src_mask, 10,
+                            tgt_lang_id=0, temperature=1.5,
+                            rng=jax.random.PRNGKey(1))
+    assert (np.asarray(t1) != np.asarray(t2)).any()

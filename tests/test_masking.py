@@ -88,3 +88,13 @@ def test_masking_deterministic_per_key():
     out2 = mask_tokens(jax.random.PRNGKey(7), tokens, valid, CFG)
     for a, b in zip(out1, out2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mask_tokens_all_padding_row_safe():
+    """A fully-padded row must produce zero-weight slots, not crash."""
+    tokens = jnp.full((2, 8), 1, jnp.int32)  # all PAD
+    valid = jnp.zeros((2, 8), bool)
+    masked, pos, labels, weights = mask_tokens(jax.random.PRNGKey(0), tokens,
+                                               valid, CFG)
+    assert float(weights.sum()) == 0.0
+    np.testing.assert_array_equal(np.asarray(masked), np.asarray(tokens))

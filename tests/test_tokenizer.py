@@ -123,3 +123,11 @@ def test_legacy_dictionary(tmp_path):
     assert list(data["positions"]) == [0, 3]
     assert data["sentences"][2] == EOS_IDX
     assert data["unk_words"] == {"zebra": 1}
+
+
+def test_decode_skips_mask_token(model_path):
+    tok = XLMRTokenizer(model_path)
+    ids = tok.encode("the quick")
+    out = tok.decode(ids + [tok.mask_token_id])
+    assert out.startswith("the quick")
+    assert "<mask>" in tok._convert_id_to_token(tok.mask_token_id)
