@@ -69,21 +69,13 @@ class MultiHeadAttention(nn.Module):
 
     def setup(self) -> None:
         d, pd = self.dtype, self.param_dtype
-        if self.quant == "int8_bwd":
-            self.q_lin = QuantDense(self.dim, d, pd, ("embed", "qkv"), True,
-                                    name="q_lin")
-            self.k_lin = QuantDense(self.dim, d, pd, ("embed", "qkv"), True,
-                                    name="k_lin")
-            self.v_lin = QuantDense(self.dim, d, pd, ("embed", "qkv"), True,
-                                    name="v_lin")
-            self.out_lin = QuantDense(self.dim, d, pd, ("qkv", "embed"), True,
-                                      name="out_lin")
-        else:
-            self.q_lin = _dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))
-            self.k_lin = _dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))
-            self.v_lin = _dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))
-            self.out_lin = _dense(self.dim, d, pd, "out_lin",
-                                  ("qkv", "embed"))
+        # quant mode reads the q/k/v kernels directly through the fused
+        # single-quantization QKV GEMM (naive per-GEMM QuantDense here
+        # measured slower: 3x the quantization overhead on small GEMMs)
+        self.q_lin = _dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))
+        self.k_lin = _dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))
+        self.v_lin = _dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))
+        self.out_lin = _dense(self.dim, d, pd, "out_lin", ("qkv", "embed"))
         self.attn_dropout = nn.Dropout(rate=self.dropout)
 
     def _split(self, x: jax.Array) -> jax.Array:
@@ -95,6 +87,25 @@ class MultiHeadAttention(nn.Module):
         b, h, s, dh = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
+    def _fused_int8_qkv(self, x):
+        """Self-attention projections as ONE int8 GEMM: the three kernels
+        concatenate to (D, 3D), the activations quantize once (the naive
+        per-GEMM int8 variant paid 3x the quantization overhead)."""
+        from m3p_tpu.ops.quant import int8_matmul_qbwd
+
+        kq = self.q_lin.variables["params"]["kernel"]
+        kk = self.k_lin.variables["params"]["kernel"]
+        kv_ = self.v_lin.variables["params"]["kernel"]
+        bq = self.q_lin.variables["params"]["bias"]
+        bk = self.k_lin.variables["params"]["bias"]
+        bv = self.v_lin.variables["params"]["bias"]
+        kernel = jnp.concatenate([kq, kk, kv_], axis=1).astype(self.dtype)
+        bias = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        b, s, d = x.shape
+        out = int8_matmul_qbwd(x.reshape(-1, d).astype(self.dtype), kernel)
+        out = out.reshape(b, s, 3 * d) + bias
+        return jnp.split(out, 3, axis=-1)
+
     def __call__(
         self,
         x: jax.Array,                       # (B, Sq, D)
@@ -104,15 +115,20 @@ class MultiHeadAttention(nn.Module):
         cache: Optional[Cache] = None,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, Optional[Cache]]:
-        q = self._split(self.q_lin(x))
-
-        if cache is not None and kv is not None and "k" in cache:
-            # cross-attention KV computed once and reused across decode steps
-            k, v = cache["k"], cache["v"]
+        if (self.quant == "int8_bwd" and kv is None and cache is None
+                and not self.is_initializing()):
+            qp, kp, vp = self._fused_int8_qkv(x)
+            q, k, v = self._split(qp), self._split(kp), self._split(vp)
         else:
-            src = x if kv is None else kv
-            k = self._split(self.k_lin(src))
-            v = self._split(self.v_lin(src))
+            q = self._split(self.q_lin(x))
+
+            if cache is not None and kv is not None and "k" in cache:
+                # cross-attention KV reused across decode steps
+                k, v = cache["k"], cache["v"]
+            else:
+                src = x if kv is None else kv
+                k = self._split(self.k_lin(src))
+                v = self._split(self.v_lin(src))
 
         new_cache: Optional[Cache] = None
         if cache is not None:
