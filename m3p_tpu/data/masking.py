@@ -43,6 +43,7 @@ def _select_fixed(rng: jax.Array, eligible: jax.Array, rate: float,
 
     Returns (positions (B, P) int32, weights (B, P) float32)."""
     b, s = eligible.shape
+    max_pred = min(max_pred, s)  # short sequences: never ask top_k for > s
     r_sel, r_prio = jax.random.split(rng)
     selected = jnp.logical_and(
         jax.random.uniform(r_sel, (b, s)) < rate, eligible)
@@ -72,12 +73,23 @@ def mask_tokens(
 
     positions, weights = _select_fixed(r_sel, eligible, cfg.word_pred,
                                        cfg.max_pred)
+    # never an all-empty mask: if the bernoulli draw selected nothing in the
+    # whole batch, force one prediction slot (the reference's
+    # ``pred_mask[0,0]=1`` fallback, `xtrainer.py:421-423`) — with a fixed
+    # eval seed and small batches an empty draw would otherwise zero the
+    # loss for EVERY eval batch
+    none_selected = jnp.sum(weights) == 0
+    positions = positions.at[0, 0].set(
+        jnp.where(none_selected, 1, positions[0, 0]))
+    weights = weights.at[0, 0].set(
+        jnp.where(none_selected, 1.0, weights[0, 0]))
+    n_pred = positions.shape[1]  # == min(cfg.max_pred, seq_len)
     labels = jnp.take_along_axis(tokens, positions, axis=1)
 
     p_mask, p_keep, p_rand = cfg.mask_keep_rand
-    u = jax.random.uniform(r_act, (b, cfg.max_pred))
+    u = jax.random.uniform(r_act, (b, n_pred))
     rand_words = jax.random.randint(
-        r_rand, (b, cfg.max_pred), cfg.special_boundary, cfg.n_words)
+        r_rand, (b, n_pred), cfg.special_boundary, cfg.n_words)
     replaced = jnp.where(
         u < p_mask, jnp.full_like(labels, cfg.mask_index),
         jnp.where(u < p_mask + p_rand, rand_words, labels))

@@ -91,10 +91,40 @@ def test_masking_deterministic_per_key():
 
 
 def test_mask_tokens_all_padding_row_safe():
-    """A fully-padded row must produce zero-weight slots, not crash."""
+    """A fully-padded batch must not crash; it gets exactly the single forced
+    prediction slot (reference `pred_mask[0,0]=1` fallback semantics —
+    harmless PAD-predicts-PAD) and the inputs stay unchanged."""
     tokens = jnp.full((2, 8), 1, jnp.int32)  # all PAD
     valid = jnp.zeros((2, 8), bool)
     masked, pos, labels, weights = mask_tokens(jax.random.PRNGKey(0), tokens,
                                                valid, CFG)
-    assert float(weights.sum()) == 0.0
+    assert float(weights.sum()) == 1.0  # only the forced fallback slot
     np.testing.assert_array_equal(np.asarray(masked), np.asarray(tokens))
+
+
+def test_mask_tokens_short_sequence_clamps_max_pred():
+    """max_pred > seq length must clamp, not crash (found driving the CLI
+    with bptt=12 < max_pred_per_seq=24)."""
+    rng = np.random.RandomState(5)
+    tokens = jnp.array(rng.randint(4, 500, (2, 6)), jnp.int32)
+    cfg = MaskingConfig(word_pred=0.5, max_pred=24, n_words=512,
+                        mask_index=511)
+    masked, pos, labels, weights = mask_tokens(jax.random.PRNGKey(0), tokens,
+                                               jnp.ones((2, 6), bool), cfg)
+    assert pos.shape == (2, 6)
+    assert float(weights.sum()) > 0
+
+
+def test_mask_tokens_never_empty_selection():
+    """A draw that selects nothing must force one slot (reference
+    pred_mask[0,0]=1 fallback) — found via the CLI: fixed eval seed + small
+    batches produced exactly-zero eval loss."""
+    rng = np.random.RandomState(6)
+    tokens = jnp.array(rng.randint(4, 500, (1, 4)), jnp.int32)
+    cfg = MaskingConfig(word_pred=1e-9, max_pred=4, n_words=512,
+                        mask_index=511)
+    for k in range(5):
+        _, pos, _, weights = mask_tokens(jax.random.PRNGKey(k), tokens,
+                                         jnp.ones((1, 4), bool), cfg)
+        assert float(weights.sum()) >= 1.0
+        assert int(pos[0, 0]) == 1
