@@ -78,11 +78,17 @@ def mask_tokens(
     # ``pred_mask[0,0]=1`` fallback, `xtrainer.py:421-423`) — with a fixed
     # eval seed and small batches an empty draw would otherwise zero the
     # loss for EVERY eval batch
+    # elementwise (not .at[0,0] scatter: GSPMD partitions a static-index
+    # scatter on a batch-sharded array PER SHARD, corrupting every shard's
+    # first row — found by the sharded-vs-local loss parity test)
     none_selected = jnp.sum(weights) == 0
-    positions = positions.at[0, 0].set(
-        jnp.where(none_selected, 1, positions[0, 0]))
-    weights = weights.at[0, 0].set(
-        jnp.where(none_selected, 1.0, weights[0, 0]))
+    force = jnp.logical_and(
+        none_selected,
+        jnp.logical_and(
+            (jnp.arange(positions.shape[0]) == 0)[:, None],
+            (jnp.arange(positions.shape[1]) == 0)[None, :]))
+    positions = jnp.where(force, 1, positions)
+    weights = jnp.where(force, 1.0, weights)
     n_pred = positions.shape[1]  # == min(cfg.max_pred, seq_len)
     labels = jnp.take_along_axis(tokens, positions, axis=1)
 
