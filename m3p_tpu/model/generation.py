@@ -153,7 +153,7 @@ def beam_search(
     fin_lens = jnp.zeros((bk,), jnp.int32)
 
     def body(carry, t):
-        seqs, logp, fin_seqs, fin_scores, fin_lens, cache = carry
+        seqs, logp, fin_seqs, fin_scores, fin_lens, done, cache = carry
         cur_tok = jnp.take_along_axis(seqs, t[None].repeat(bk)[:, None],
                                       axis=1)  # (BK, 1)
         positions = jnp.full((bk, 1), t, jnp.int32)
@@ -174,6 +174,10 @@ def beam_search(
         gen_len = (t + 1).astype(jnp.float32)  # generated tokens incl. EOS
         eos_scores = jnp.where(is_eos, top_logp / gen_len ** length_penalty,
                                NEG_INF)                           # (B, 2K)
+        # early stopping (reference `BeamHypotheses.is_done`,
+        # transformer.py:1520-1535): once a row has K finished hypotheses,
+        # freeze its pool — later candidates are not considered
+        eos_scores = jnp.where(done[:, None], NEG_INF, eos_scores)
         eos_src = _gather_beams({"s": seqs}, beam_idx, b, 2 * k)["s"]
         eos_seqs = eos_src.reshape(b, 2 * k, max_len)
         eos_seqs = eos_seqs.at[:, :, t + 1].set(
@@ -193,6 +197,10 @@ def beam_search(
         new_fin_scores = best_scores.reshape(bk)
         new_fin_lens = jnp.take_along_axis(merged_lens, best_i,
                                            axis=1).reshape(bk)
+        if early_stopping:
+            new_done = done | jnp.all(best_scores > NEG_INF / 2, axis=1)
+        else:
+            new_done = done
 
         # ---- alive beams: best K non-EOS among the 2K ----
         alive_logp_cand = jnp.where(is_eos, NEG_INF, top_logp)    # (B, 2K)
@@ -207,15 +215,17 @@ def beam_search(
         new_logp = alive_scores.reshape(bk)
 
         return (new_seqs, new_logp, new_fin_seqs, new_fin_scores,
-                new_fin_lens, new_cache), None
+                new_fin_lens, new_done, new_cache), None
 
-    carry = (seqs, init_logp, fin_seqs, fin_scores, fin_lens, cache)
-    (seqs, logp, fin_seqs, fin_scores, fin_lens, _), _ = jax.lax.scan(
+    done0 = jnp.zeros((b,), bool)
+    carry = (seqs, init_logp, fin_seqs, fin_scores, fin_lens, done0, cache)
+    (seqs, logp, fin_seqs, fin_scores, fin_lens, done, _), _ = jax.lax.scan(
         body, carry, jnp.arange(max_len - 1))
 
     # force-finish still-alive beams at max length (reference
-    # `transformer.py:1487-1496`)
+    # `transformer.py:1487-1496`); rows finished early keep only their pool
     alive_scores = logp / float(max_len) ** length_penalty        # (BK,)
+    alive_scores = jnp.where(jnp.repeat(done, k), NEG_INF, alive_scores)
     all_scores = jnp.concatenate(
         [fin_scores.reshape(b, k), alive_scores.reshape(b, k)], axis=1)
     all_seqs = jnp.concatenate(

@@ -19,6 +19,7 @@ import os
 import signal
 import sys
 import time
+import zlib
 from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import jax
@@ -217,8 +218,12 @@ class Trainer:
                                            "lambda_clcm", "lambda_ic",
                                            "lambda_mt")}
         step = self._get_step(kind)
+        # stable across processes/restarts: Python's hash() is salted per
+        # process (PYTHONHASHSEED), which would resume with different
+        # randomness per task after preemption
+        task_h = zlib.crc32("-".join(map(str, task)).encode()) % 10007
         key = jax.random.PRNGKey(
-            self.cfg.seed + self.n_total_iter * 977 + hash(task) % 10007)
+            self.cfg.seed + self.n_total_iter * 977 + task_h)
         if isinstance(batch, tuple):  # (t2i, i2t) paired batches
             for b in batch:
                 self.state, metrics = step(self.state, b, key, **lam_kwargs)
