@@ -7,6 +7,9 @@ Subcommands:
   train-vocab — train an in-tree unigram vocabulary from text corpora
                 (replaces the external fastBPE/SentencePiece toolchain,
                 `install-tools.sh:32-61`)
+  spm-to-tsv  — convert a pretrained SentencePiece .spm/.model protobuf
+                (e.g. the XLM-R model the reference loads,
+                `M3P/src/data/tokenization.py:18-19`) to the in-tree TSV
 
 Usage:
   python -m m3p_tpu.cli.preprocess train-vocab --out vocab.tsv --size 32000 \\
@@ -64,6 +67,15 @@ def cmd_binarize(args) -> None:
     print(f"binarized {n_sents} sentences, {arr.size} tokens -> {args.out}")
 
 
+def cmd_spm_to_tsv(args) -> None:
+    from m3p_tpu.tokenization.unigram import UnigramModel
+
+    model = UnigramModel.from_spm(args.input)
+    model.save(args.out)
+    n_match = len(model.piece_to_id)
+    print(f"converted {len(model)} pieces ({n_match} matchable) -> {args.out}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="m3p_tpu preprocessing")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -79,6 +91,11 @@ def main(argv=None) -> None:
     bz.add_argument("--vocab", required=True)
     bz.add_argument("--out", required=True)
     bz.set_defaults(fn=cmd_binarize)
+
+    sp = sub.add_parser("spm-to-tsv")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_spm_to_tsv)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -10,20 +10,62 @@ tokenization.py:16-130`):
     (`batch_sentences`, reference `xtrainer.py:829-877`)
 
 The underlying model is the native C++ unigram encoder when available, else
-the pure-Python `UnigramModel` (identical ids — asserted in tests).
+the pure-Python `UnigramModel` (identical ids — asserted in tests).  The
+model file may be the in-tree TSV format or a real SentencePiece ``.spm``/
+``.model`` protobuf (e.g. the pretrained XLM-R model the reference loads);
+for the native encoder, protobuf models are converted to a cached TSV.
+Text is nmt_nfkc-normalized (NFKC + space/control cleanup, approximating the
+XLM-R normalizer spec) before segmentation.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+import unicodedata
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from m3p_tpu.config import BOS_IDX, EOS_IDX, PAD_IDX, UNK_IDX
+from m3p_tpu.tokenization.spm_reader import looks_like_spm
 from m3p_tpu.tokenization.unigram import SPIECE_UNDERLINE, UnigramModel
 
 FAIRSEQ_TOKENS = {"<s>": BOS_IDX, "<pad>": PAD_IDX, "</s>": EOS_IDX,
                   "<unk>": UNK_IDX}
+
+
+def nmt_normalize(text: str) -> str:
+    """Approximate SentencePiece's ``nmt_nfkc`` normalization: NFKC plus
+    mapping control characters and exotic Unicode spaces to ASCII space
+    (the subsequent whitespace pretokenizer collapses runs)."""
+    text = unicodedata.normalize("NFKC", text)
+    out = []
+    for ch in text:
+        cat = unicodedata.category(ch)
+        if cat in ("Cc", "Cf", "Zs", "Zl", "Zp"):
+            out.append(" ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _tsv_for_native(model_path: str, py_model: UnigramModel) -> str:
+    """The native encoder reads TSV only; convert a protobuf model once and
+    cache next to it (or in the tempdir when the location is read-only)."""
+    if not looks_like_spm(model_path):
+        return model_path
+    cache = model_path + ".tsv"
+    try:
+        if (not os.path.exists(cache)
+                or os.path.getmtime(cache) < os.path.getmtime(model_path)):
+            py_model.save(cache)
+        return cache
+    except OSError:
+        fd, tmp = tempfile.mkstemp(suffix=".tsv", prefix="m3ptok_")
+        os.close(fd)
+        py_model.save(tmp)
+        return tmp
 
 
 class XLMRTokenizer:
@@ -33,7 +75,8 @@ class XLMRTokenizer:
         if use_native:
             try:
                 from m3p_tpu.tokenization.native import NativeUnigram
-                self._native = NativeUnigram(model_path)
+                self._native = NativeUnigram(
+                    _tsv_for_native(model_path, self._py_model))
             except Exception:
                 self._native = None
 
@@ -58,6 +101,7 @@ class XLMRTokenizer:
 
     def encode(self, text: str, text_b: Optional[str] = None) -> List[int]:
         """Subword ids without specials (reference convention)."""
+        text = nmt_normalize(text)
         if self._native is not None:
             ids = self._shift(self._native.encode(text))
         else:
@@ -66,6 +110,7 @@ class XLMRTokenizer:
 
     def encode_batch(self, texts: Sequence[str], max_ids: int = 256
                      ) -> List[List[int]]:
+        texts = [nmt_normalize(t) for t in texts]
         if self._native is not None:
             return [self._shift(ids)
                     for ids in self._native.encode_batch(texts, max_ids)]

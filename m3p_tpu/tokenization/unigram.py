@@ -8,7 +8,12 @@ target size (a compact version of the SentencePiece unigram trainer; the
 reference consumed a pre-trained XLM-R model, `data/tokenization.py:18-19`).
 
 Model file format (shared with the native encoder): UTF-8 TSV lines
-``<piece>\t<log_prob>``; line number == piece id.
+``<piece>\t<log_prob>[\t<type>]``; line number == piece id.  The optional
+third column is the SentencePiece piece type (1=NORMAL default); non-matchable
+types (UNKNOWN/CONTROL/UNUSED) keep their id slot but never participate in
+segmentation — this is how a converted XLM-R ``.spm`` keeps <unk>/<s>/</s> at
+raw ids 0..2 without ever matching the literal strings in text.  ``load``
+also accepts a raw SentencePiece ``.spm``/``.model`` protobuf directly.
 """
 
 from __future__ import annotations
@@ -17,39 +22,68 @@ import collections
 import math
 from typing import Dict, Iterable, List, Optional, Tuple
 
+from m3p_tpu.tokenization.spm_reader import (
+    MATCHABLE_TYPES, TYPE_NORMAL, load_spm, looks_like_spm)
+
 SPIECE_UNDERLINE = "▁"  # ▁
 
 _UNK_PENALTY = 10.0
 
 
 class UnigramModel:
-    def __init__(self, pieces: List[str], scores: List[float]):
+    def __init__(self, pieces: List[str], scores: List[float],
+                 types: Optional[List[int]] = None):
         assert len(pieces) == len(scores)
         self.pieces = pieces
         self.scores = scores
-        self.piece_to_id: Dict[str, int] = {p: i for i, p in enumerate(pieces)}
-        self.min_score = min(scores) if scores else 0.0
-        self.max_piece_len = max((len(p) for p in pieces), default=1)
+        self.types = types if types is not None else [TYPE_NORMAL] * len(pieces)
+        assert len(self.types) == len(pieces)
+        self.piece_to_id: Dict[str, int] = {
+            p: i for i, p in enumerate(pieces)
+            if self.types[i] in MATCHABLE_TYPES}
+        matchable_scores = [s for s, t in zip(scores, self.types)
+                            if t in MATCHABLE_TYPES]
+        self.min_score = min(matchable_scores) if matchable_scores else 0.0
+        self.max_piece_len = max(
+            (len(p) for p, t in zip(pieces, self.types)
+             if t in MATCHABLE_TYPES), default=1)
 
     # -- persistence ----------------------------------------------------
 
     @classmethod
     def load(cls, path: str) -> "UnigramModel":
-        pieces, scores = [], []
+        if looks_like_spm(path):
+            return cls.from_spm(path)
+        pieces, scores, types = [], [], []
         with open(path, encoding="utf-8") as f:
             for line in f:
                 line = line.rstrip("\n")
                 if not line:
                     continue
-                piece, score = line.rsplit("\t", 1)
+                cols = line.split("\t")
+                if len(cols) == 2:
+                    piece, score, ptype = cols[0], cols[1], TYPE_NORMAL
+                else:
+                    piece, score, ptype = cols[0], cols[1], int(cols[2])
                 pieces.append(piece)
                 scores.append(float(score))
-        return cls(pieces, scores)
+                types.append(ptype)
+        return cls(pieces, scores, types)
+
+    @classmethod
+    def from_spm(cls, path: str) -> "UnigramModel":
+        """Load directly from a SentencePiece .spm/.model protobuf."""
+        pieces, scores, types = load_spm(path)
+        return cls(pieces, scores, types)
 
     def save(self, path: str) -> None:
+        plain = all(t == TYPE_NORMAL for t in self.types)
         with open(path, "w", encoding="utf-8") as f:
-            for p, s in zip(self.pieces, self.scores):
-                f.write(f"{p}\t{s}\n")
+            for p, s, t in zip(self.pieces, self.scores, self.types):
+                if plain:
+                    f.write(f"{p}\t{s}\n")
+                else:
+                    f.write(f"{p}\t{s}\t{t}\n")
 
     def __len__(self) -> int:
         return len(self.pieces)

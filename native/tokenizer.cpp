@@ -8,9 +8,13 @@
 // log-probabilities, byte-level UTF-8 safe, multithreaded batch encoding for
 // the data-pipeline hot path.
 //
-// Model format: UTF-8 TSV, one "<piece>\t<score>" per line; line number = id.
-// Specials (<s>/<pad>/</s>/<unk>/<mask>) are handled by the Python wrapper
-// via the fairseq offset convention; this layer knows only pieces.
+// Model format: UTF-8 TSV, one "<piece>\t<score>[\t<type>]" per line; line
+// number = id.  The optional third column is the SentencePiece piece type
+// (1=NORMAL default); non-matchable types (UNKNOWN=2/CONTROL=3/UNUSED=5) keep
+// their id slot but are excluded from segmentation, so a converted XLM-R
+// vocabulary keeps <unk>/<s>/</s> at raw ids 0..2 without ever matching the
+// literal strings.  Specials (<s>/<pad>/</s>/<unk>/<mask>) are handled by the
+// Python wrapper via the fairseq offset convention.
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC tokenizer.cpp -o libm3ptok.so -lpthread
 
@@ -37,6 +41,7 @@ struct TrieNode {
 struct Model {
   std::vector<std::string> pieces;
   std::vector<float> scores;
+  std::vector<uint8_t> matchable;  // piece participates in segmentation
   std::unordered_map<std::string, int32_t> piece_to_id;
   std::vector<TrieNode> trie;
   float min_score = 0.f;
@@ -45,6 +50,7 @@ struct Model {
     trie.clear();
     trie.emplace_back();
     for (int32_t id = 0; id < (int32_t)pieces.size(); ++id) {
+      if (!matchable[id]) continue;
       int32_t node = 0;
       for (char c : pieces[id]) {
         auto it = trie[node].next.find(c);
@@ -164,18 +170,30 @@ int32_t m3ptok_load(const char* path) {
   if (!f.is_open()) return -1;
   std::string line;
   float min_score = 0.f;
+  bool any_score = false;
   while (std::getline(f, line)) {
     if (line.empty()) continue;
-    size_t tab = line.rfind('\t');
+    size_t tab = line.find('\t');
     if (tab == std::string::npos) continue;
     std::string piece = line.substr(0, tab);
+    size_t tab2 = line.find('\t', tab + 1);
     float score = std::strtof(line.c_str() + tab + 1, nullptr);
-    model->piece_to_id.emplace(piece, (int32_t)model->pieces.size());
+    // optional 3rd column: SentencePiece piece type; NORMAL=1/USER_DEFINED=4
+    // are matchable, UNKNOWN/CONTROL/UNUSED keep the id slot only
+    long type = 1;
+    if (tab2 != std::string::npos)
+      type = std::strtol(line.c_str() + tab2 + 1, nullptr, 10);
+    bool match = (type == 1 || type == 4);
+    if (match) {
+      model->piece_to_id.emplace(piece, (int32_t)model->pieces.size());
+      min_score = any_score ? std::min(min_score, score) : score;
+      any_score = true;
+    }
+    model->matchable.push_back(match ? 1 : 0);
     model->pieces.push_back(std::move(piece));
     model->scores.push_back(score);
-    min_score = std::min(min_score, score);
   }
-  model->min_score = min_score;
+  model->min_score = any_score ? min_score : 0.f;
   model->build_trie();
   std::lock_guard<std::mutex> lock(g_mu);
   models().push_back(std::move(model));
