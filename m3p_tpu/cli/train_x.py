@@ -252,12 +252,24 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         # `loader.py:686-703`)
         cross_mt_steps="" if args.is_ntg else args.mt_steps,
         ntg_steps=args.mt_steps if args.is_ntg else "",
+        text_steps=args.text_steps,
         cross_rel_steps="" if args.is_slide else args.cross_rel_steps,
         slide_steps=args.cross_rel_steps if args.is_slide else "",
+        mass_steps=args.mass_steps, pc_steps=args.pc_steps,
+        ae_steps=args.ae_steps,
+        # cross_gan_steps is the reference's tifg DSL (`train_x.py:232`),
+        # cross_ae_steps the IDA/bart_img DSL (`train_x.py:229`)
+        tifg_steps=args.cross_gan_steps,
+        cross_ae_steps=args.cross_ae_steps,
+        ft_lgs=args.ft_lgs, train_order_path=args.train_order_path,
+        word_mass=args.word_mass,
         lambda_mlm=args.lambda_mlm, lambda_rel=args.lambda_rel,
         lambda_mrm=args.lambda_mrm, lambda_mrfr=args.lambda_mrfr,
         lambda_ic=args.lambda_ic, lambda_t2i=args.lambda_t2i,
-        lambda_i2t=args.lambda_i2t,
+        lambda_i2t=args.lambda_i2t, lambda_clm=args.lambda_clm,
+        lambda_mass=args.lambda_mass, lambda_imlm=args.lambda_imlm,
+        lambda_ida=args.lambda_ida, lambda_tifg=args.lambda_tifg,
+        lambda_pc=args.lambda_pc,
         epoch_size=args.epoch_size, max_epoch=args.max_epoch,
         stopping_criterion=args.stopping_criterion,
         validation_metrics=args.validation_metrics,

@@ -218,6 +218,21 @@ class TrainConfig:
     cross_mt_steps: str = ""
     ntg_steps: str = ""
     slide_steps: str = ""
+    # generation / text-only objectives (`train_x.py:213-247`):
+    #   mass_steps    — MASS segment-masked seq2seq on mono streams
+    #   pc_steps      — parallel (translation-pair) classification
+    #   tifg_steps    — text->image-feature generation (--cross_gan_steps)
+    #   cross_ae_steps— IDA / bart_img region-denoising captioning
+    #   ae_steps      — denoising auto-encoding with word noise
+    # Under --is_generation the reference also drives bart_mlm/bart_mass
+    # from mlm_steps (`train_x.py:457-460`) — mirrored in
+    # Trainer.active_tasks.
+    mass_steps: str = ""
+    pc_steps: str = ""
+    tifg_steps: str = ""
+    cross_ae_steps: str = ""
+    ae_steps: str = ""
+    text_steps: str = ""
 
     # loss-coefficient schedules (``"0:1,1000:0"`` DSL, `utils.py:249-293`)
     lambda_mlm: str = "1"
@@ -229,6 +244,13 @@ class TrainConfig:
     lambda_mt: str = "1"
     lambda_t2i: str = "1"
     lambda_i2t: str = "1"
+    lambda_clm: str = "1"
+    lambda_mass: str = "1"
+    lambda_imlm: str = "1"   # bart_mlm coefficient (`train_x.py:459`)
+    lambda_ida: str = "1"    # bart_img coefficient (`train_x.py:463`)
+    lambda_tifg: str = "1"
+    lambda_pc: str = "1"
+    lambda_ae: str = "1"
 
     epoch_size: int = 100000
     max_epoch: int = 100000
@@ -246,6 +268,9 @@ class TrainConfig:
     is_slide: bool = False
     is_freelb: bool = False
     ft_all: bool = False    # per-feeder language sharding (`loader.py:187-190`)
+    ft_lgs: str = ""        # fine-tune language list (defaults to lgs)
+    train_order_path: str = ""  # {google,sbu}_train_order.json dir
+    word_mass: float = 0.5  # MASS masked-span fraction (`--word_mass`)
     lg_sampling_factor: float = -1.0  # size^coeff task sampling (`utils.py:296`)
     qp_type: str = "q"      # MILD query / query+passage scoring
     # freeLB adversarial settings (`xtrainer.py:2700-2962`)
@@ -269,6 +294,14 @@ class TrainConfig:
     @property
     def id2lang(self) -> Dict[int, str]:
         return {v: k for k, v in self.lang2id.items()}
+
+    @property
+    def ft_langs(self) -> List[str]:
+        """Fine-tune languages: --ft_lgs when set, else --lgs
+        (reference per-language caption loading, `loader.py:275-280`)."""
+        if self.ft_lgs:
+            return list(parse_lgs(self.ft_lgs).keys())
+        return list(self.lang2id.keys())
 
 
 def scale_up_config(**overrides: Any) -> TrainConfig:

@@ -279,10 +279,11 @@ class CaptionDataset:
     def __len__(self) -> int:
         return len(self.items)
 
-    def epoch_iterator(self, batch_size: int, epoch: int = 0
-                       ) -> Iterator[Batch]:
+    def epoch_iterator(self, batch_size: int, epoch: int = 0,
+                       shuffle: bool = True) -> Iterator[Batch]:
         rng = np.random.RandomState(self.seed + epoch)
-        order = rng.permutation(len(self.items))
+        order = (rng.permutation(len(self.items)) if shuffle
+                 else np.arange(len(self.items)))
         for start in range(0, len(order) - batch_size + 1, batch_size):
             img_ids, texts = [], []
             for i in order[start:start + batch_size]:
@@ -347,6 +348,84 @@ class StreamDataset:
         self.position = 0
 
 
+class NoisedStreamDataset(StreamDataset):
+    """Stream dataset whose batches pass through a host noise transform —
+    the feed for MASS (`restricted_mask_sent`, `xtrainer.py:1269-1316`),
+    BART infilling (`bart_token_mask_sent`, :1318-1381) and denoising-AE
+    word noise (`xtrainer.py:291-383`) objectives.
+
+    ``transform(rng, batch, lang_id) -> batch`` (see
+    `m3p_tpu.data.loader.make_mass_transform` etc.).
+    """
+
+    def __init__(self, token_stream: np.ndarray, transform,
+                 lang_id: Optional[int] = None, **kw):
+        super().__init__(token_stream, **kw)
+        self.transform = transform
+        self.lang_id = lang_id
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed * 7 + epoch + 101)
+        for batch in super().epoch_iterator(batch_size, epoch):
+            yield self.transform(rng, batch, self.lang_id)
+
+
+class PCDataset:
+    """Parallel classification (`pc_step`, `xtrainer.py:772-826`): classify
+    whether a concatenated sentence pair is a translation pair.  Half the
+    rows keep the aligned target (label 1), half get a random other target
+    (label 0); pairs concatenate TLM-style with per-side language ids
+    (`concat_batches`, `utils.py:324-362`)."""
+
+    def __init__(self, src_texts: Sequence[str], tgt_texts: Sequence[str],
+                 tokenizer, max_len: int = 64, seed: int = 0,
+                 src_lang_id: int = 0, tgt_lang_id: int = 1):
+        assert len(src_texts) == len(tgt_texts)
+        self.src_texts = list(src_texts)
+        self.tgt_texts = list(tgt_texts)
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.seed = seed
+        self.src_lang_id = src_lang_id
+        self.tgt_lang_id = tgt_lang_id
+
+    def __len__(self) -> int:
+        return len(self.src_texts)
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0
+                       ) -> Iterator[Batch]:
+        from m3p_tpu.data.noise import concat_batches
+
+        rng = np.random.RandomState(self.seed + epoch)
+        order = rng.permutation(len(self.src_texts))
+        width = 2 * self.max_len - 1  # fixed concat width (static shapes)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[start:start + batch_size]
+            labels = (rng.rand(batch_size) < 0.5).astype(np.int32)
+            src = [self.src_texts[i] for i in idx]
+            tgt = [self.tgt_texts[i] if labels[j] else
+                   self.tgt_texts[order[rng.randint(len(order))]]
+                   for j, i in enumerate(idx)]
+            s_toks, s_len, _ = _encode_padded(self.tokenizer, src,
+                                              self.max_len)
+            t_toks, t_len, _ = _encode_padded(self.tokenizer, tgt,
+                                              self.max_len)
+            toks, lens, pos, langs = concat_batches(
+                s_toks, s_len, self.src_lang_id, t_toks, t_len,
+                self.tgt_lang_id)
+            out_toks = np.full((batch_size, width), PAD_IDX, toks.dtype)
+            out_pos = np.zeros((batch_size, width), pos.dtype)
+            out_langs = np.zeros((batch_size, width), langs.dtype)
+            w = toks.shape[1]
+            out_toks[:, :w] = toks
+            out_pos[:, :w] = pos
+            out_langs[:, :w] = langs
+            yield {"tokens": out_toks, "lengths": lens,
+                   "positions": out_pos, "langs": out_langs,
+                   "labels": labels}
+
+
 class ParallelDataset:
     """Src/tgt sentence pairs for MT and NTG, length-grouped batching
     (`MT_finetune.py`, `NTG_xlm_based.py:23-173`)."""
@@ -371,13 +450,14 @@ class ParallelDataset:
     def __len__(self) -> int:
         return len(self.src_texts)
 
-    def epoch_iterator(self, batch_size: int, epoch: int = 0
-                       ) -> Iterator[Batch]:
+    def epoch_iterator(self, batch_size: int, epoch: int = 0,
+                       shuffle: bool = True) -> Iterator[Batch]:
         rng = np.random.RandomState(self.seed + epoch)
         # length-grouped then shuffled in chunks (NTG convention)
         order = np.argsort([len(s) for s in self.src_texts], kind="stable")
         n_batches = len(order) // batch_size
-        batch_order = rng.permutation(n_batches)
+        batch_order = (rng.permutation(n_batches) if shuffle
+                       else np.arange(n_batches))
         for bi in batch_order:
             idx = order[bi * batch_size:(bi + 1) * batch_size]
             src = [self.src_texts[i] for i in idx]

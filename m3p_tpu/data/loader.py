@@ -4,16 +4,21 @@ config.
 
 Builds, from the configured paths and task-step DSLs:
   * train_datasets: {(task, name): dataset} consumed by the Trainer
-  * eval_data: the dict consumed by `Evaluator.run_all_evals`
+  * eval_data: the dict consumed by `Evaluator.run_all_evals` — one entry per
+    eval family, with per-language keys suffixed ``family.lang`` the way the
+    reference loops `ft_lgs` in `run_all_evals` (`xevaluator.py:120-281`)
 
 On-disk conventions (reference formats kept where they were sane):
-  * captions:   ``<dataset>_path/train.<lang>.pkl`` — pickle dict
+  * captions:   ``<dataset>_path/{train,valid,test}.<lang>.pkl`` — pickle dict
                 image_id -> [caption, ...]   (`loader.py:275-280`)
   * features:   ``input_fea_dir/<dataset>/train.h5`` reference-layout shards
-  * mono text:  ``data_path/train.<lang>.npy`` int32 token stream (produced
-                by m3p_tpu.cli.preprocess — replaces the XLM .pth binarizer)
+  * mono text:  ``data_path/{train,valid}.<lang>.npy`` int32 token stream
+                (produced by m3p_tpu.cli.preprocess — replaces the XLM .pth
+                binarizer)
   * parallel:   ``data_path/<split>.<src>-<tgt>.<side>.txt`` plain text
   * bilingual dictionaries for MCT: ``cross_lingual_path/<l1>-<l2>.txt``
+  * shard schedule: ``train_order_path/<name>_train_order.json``
+                (`dataset_pretrain.py:210-226`)
 Missing files skip their task with a warning instead of crashing, so partial
 setups (e.g. text-only pre-training) run as in the reference's conditional
 loaders.
@@ -22,22 +27,26 @@ loaders.
 from __future__ import annotations
 
 import glob
+import json
 import logging
 import os
 import pickle
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from m3p_tpu.config import TrainConfig, parse_steps
 from m3p_tpu.data.clag import Clager, load_bilingual_dict
 from m3p_tpu.data.datasets import (
-    CaptionDataset, ParallelDataset, PretrainDataset, RetrievalDataset,
-    SlideDataset, StreamDataset, build_eval_retrieval_arrays)
+    CaptionDataset, NoisedStreamDataset, ParallelDataset, PCDataset,
+    PretrainDataset, RetrievalDataset, SlideDataset, StreamDataset,
+    build_eval_retrieval_arrays)
 from m3p_tpu.data.features import RegionFeatureStore
 
 logger = logging.getLogger("m3p_tpu")
+
+EVAL_BATCHES = 8  # validation batches cached per (family, lang)
 
 
 @dataclass
@@ -47,12 +56,86 @@ class LoadedData:
     tokenizer: Any = None
 
 
-def _load_captions(path: str) -> Optional[Dict[str, List[str]]]:
+# ---------------------------------------------------------------------------
+# host noise transforms for the generation objectives
+# ---------------------------------------------------------------------------
+
+
+def make_mass_transform(word_mass: float, mask_index: int,
+                        n_words: int) -> Callable:
+    """Stream batch -> MASS batch (`m3p_tpu.train.steps.mass_loss` layout)."""
+    from m3p_tpu.data.span_masking import mass_mask
+
+    def transform(rng, batch, lang_id):
+        out = mass_mask(rng, batch["tokens"], batch["lengths"], word_mass,
+                        mask_index, n_words)
+        if lang_id is not None:
+            out["langs"] = np.full_like(out["enc_tokens"], lang_id)
+        return out
+
+    return transform
+
+
+def make_bart_transform(mask_index: int) -> Callable:
+    """Stream batch -> BART-infilled seq2seq batch (mt_loss layout)."""
+    from m3p_tpu.data.span_masking import bart_infill
+
+    def transform(rng, batch, lang_id):
+        out = bart_infill(rng, batch["tokens"], batch["lengths"], mask_index)
+        if lang_id is not None:
+            out["src_langs"] = np.full_like(out["src_tokens"], lang_id)
+            out["tgt_langs"] = np.full_like(out["tgt_tokens"], lang_id)
+        return out
+
+    return transform
+
+
+def make_ae_transform(shuffle_k: float, dropout_p: float, blank_p: float,
+                      mask_index: int) -> Callable:
+    """Stream batch -> denoising-AE seq2seq batch: reconstruct the clean
+    sentence from its word-noised version (`add_noise`,
+    `xtrainer.py:291-383`)."""
+    from m3p_tpu.data.noise import add_noise
+
+    def transform(rng, batch, lang_id):
+        noised, lens = add_noise(rng, batch["tokens"], batch["lengths"],
+                                 shuffle_k, dropout_p, blank_p, mask_index)
+        out = {"src_tokens": noised, "src_len": lens,
+               "tgt_tokens": batch["tokens"], "tgt_len": batch["lengths"]}
+        if lang_id is not None:
+            out["src_langs"] = np.full_like(noised, lang_id)
+            out["tgt_langs"] = np.full_like(batch["tokens"], lang_id)
+        return out
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# file helpers
+# ---------------------------------------------------------------------------
+
+
+def _load_captions(path: str, warn: bool = True
+                   ) -> Optional[Dict[str, List[str]]]:
     if not os.path.exists(path):
-        logger.warning("captions not found: %s", path)
+        if warn:
+            logger.warning("captions not found: %s", path)
         return None
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def _load_parallel(data_path: str, split: str, src: str, tgt: str
+                   ) -> Optional[Tuple[List[str], List[str]]]:
+    base = os.path.join(data_path, f"{split}.{src}-{tgt}")
+    src_path, tgt_path = f"{base}.{src}.txt", f"{base}.{tgt}.txt"
+    if not (os.path.exists(src_path) and os.path.exists(tgt_path)):
+        return None
+    with open(src_path, encoding="utf-8") as f:
+        src_texts = [l.rstrip("\n") for l in f]
+    with open(tgt_path, encoding="utf-8") as f:
+        tgt_texts = [l.rstrip("\n") for l in f]
+    return src_texts, tgt_texts
 
 
 def _load_tokenizer(cfg: TrainConfig):
@@ -87,6 +170,31 @@ def _dataset_root(cfg: TrainConfig, name: str,
     return os.path.join(cfg.data.data_path, name)
 
 
+def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
+    """``<train_order_path>/<name>_train_order.json``: epoch -> shard index
+    per data-parallel feeder (`{google,sbu}_train_order.json`,
+    `dataset_pretrain.py:210-226`)."""
+    if not cfg.train_order_path:
+        return None
+    path = os.path.join(cfg.train_order_path, f"{name}_train_order.json")
+    if not os.path.exists(path):
+        logger.warning("train order missing: %s", path)
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _key(task: str, name: str, lang: str, multi: bool) -> Tuple[str, str]:
+    """Dataset key; per-language suffix only in multi-language runs so
+    single-language keys stay `(task, name)` (the common case)."""
+    return (task, f"{name}:{lang}" if multi else name)
+
+
+# ---------------------------------------------------------------------------
+# the orchestrator
+# ---------------------------------------------------------------------------
+
+
 def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
               dataset_paths: Optional[Dict[str, str]] = None) -> LoadedData:
     """``dataset_paths``: optional {name: root} overrides (the reference's
@@ -100,30 +208,91 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         return out
     clager = _build_clager(cfg, cross_lingual_path
                            or cfg.data.cross_lingual_path)
-    langs = list(cfg.lang2id.keys())
+    langs = cfg.ft_langs
     if cfg.ft_all and len(langs) > 1:
         # --ft_all: each data feeder fine-tunes a different language
         # (`loader.py:187-190,444-449`)
         import jax
 
         langs = [langs[jax.process_index() % len(langs)]]
+    multi = len(langs) > 1
+    n_words = cfg.model.n_words
+    mask_index = cfg.model.mask_index
 
-    # ---- mono text streams (xMLM) -----------------------------------
+    def eval_put(family: str, lang: str, value) -> None:
+        key = f"{family}.{lang}" if multi else family
+        out.eval_data[key] = value
+
+    # ---- mono text streams: xMLM / CLM / MASS / BART / AE ------------
+    stream_tasks: List[Tuple[str, str, Optional[Callable]]] = []
     for lang, _ in parse_steps(cfg.mlm_steps):
+        stream_tasks.append(("mlm", lang, None))
+        if cfg.is_generation:
+            # `train_x.py:457-460`: is_generation drives bart_mlm +
+            # bart_mass from mlm_steps
+            stream_tasks.append(
+                ("bart", lang, make_bart_transform(mask_index)))
+            stream_tasks.append(
+                ("mass", lang,
+                 make_mass_transform(cfg.word_mass, mask_index, n_words)))
+    for lang, _ in parse_steps(cfg.clm_steps):
+        stream_tasks.append(("clm", lang, None))
+    for lang, _ in parse_steps(cfg.mass_steps):
+        stream_tasks.append(
+            ("mass", lang,
+             make_mass_transform(cfg.word_mass, mask_index, n_words)))
+    for lang, _ in parse_steps(cfg.ae_steps):
+        stream_tasks.append(
+            ("ae", lang, make_ae_transform(
+                max(cfg.data.word_shuffle, 2.0), cfg.data.word_dropout or 0.1,
+                cfg.data.word_blank, mask_index)))
+
+    seen_stream = set()
+    for task, lang, transform in stream_tasks:
+        if (task, lang) in seen_stream:
+            continue
+        seen_stream.add((task, lang))
         path = os.path.join(cfg.data.data_path, f"train.{lang}.npy")
         if not os.path.exists(path):
             logger.warning("mono stream missing: %s", path)
             continue
         stream = np.load(path)
-        out.train_datasets[("mlm", lang)] = StreamDataset(
-            stream, bptt=cfg.data.bptt, seed=cfg.seed)
+        lang_id = cfg.lang2id.get(lang)
+        if transform is None:
+            out.train_datasets[(task, lang)] = StreamDataset(
+                stream, bptt=cfg.data.bptt, seed=cfg.seed)
+        else:
+            out.train_datasets[(task, lang)] = NoisedStreamDataset(
+                stream, transform, lang_id=lang_id, bptt=cfg.data.bptt,
+                seed=cfg.seed)
         valid_path = os.path.join(cfg.data.data_path, f"valid.{lang}.npy")
         if os.path.exists(valid_path):
             ds = StreamDataset(np.load(valid_path), bptt=cfg.data.bptt)
-            out.eval_data.setdefault("mlm_batches", []).extend(
-                list(ds.epoch_iterator(cfg.data.batch_size))[:8])
+            batches = list(ds.epoch_iterator(
+                cfg.data.batch_size))[:EVAL_BATCHES]
+            if task in ("mlm", "clm"):
+                eval_put(f"{task}_batches", lang, batches)
+            elif task == "mass":
+                # deterministic eval masking (reference fixed eval RNG,
+                # `xevaluator.py:402`)
+                rng = np.random.RandomState(0)
+                eval_put("mass_batches", lang,
+                         [transform(rng, b, lang_id) for b in batches])
 
-    # ---- retrieval / pretraining ------------------------------------
+    # ---- parallel classification -------------------------------------
+    for src, tgt in parse_steps(cfg.pc_steps):
+        if tgt is None:
+            continue
+        pair = _load_parallel(cfg.data.data_path, "train", src, tgt)
+        if pair is None:
+            logger.warning("pc parallel data missing: %s-%s", src, tgt)
+            continue
+        out.train_datasets[("pc", src)] = PCDataset(
+            pair[0], pair[1], tokenizer, max_len=cfg.data.max_len,
+            seed=cfg.seed, src_lang_id=cfg.lang2id.get(src, 0),
+            tgt_lang_id=cfg.lang2id.get(tgt, 1))
+
+    # ---- retrieval / pretraining --------------------------------------
     for name, _mod in parse_steps(cfg.cross_rel_steps):
         root = _dataset_root(cfg, name, dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
@@ -132,104 +301,220 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
             continue
         stores = [RegionFeatureStore(p, cfg.data.max_region_num)
                   for p in h5s]
-        lang = langs[0]
         if cfg.is_pretrain:
-            caps = []
-            for p in h5s:
-                cap_path = p.replace(".h5", f".{lang}.pkl")
-                caps.append(_load_captions(cap_path) or {})
-            out.train_datasets[("rel", name)] = PretrainDataset(
-                stores, caps, tokenizer, sample_n=cfg.data.sample_n,
-                max_len=cfg.data.max_len, clager=clager, lang=lang,
-                seed=cfg.seed)
+            import jax
+
+            train_order = _load_train_order(cfg, name)
+            for lang in langs:
+                caps = []
+                for p in h5s:
+                    cap_path = p.replace(".h5", f".{lang}.pkl")
+                    caps.append(_load_captions(cap_path) or {})
+                if not any(caps):
+                    continue
+                out.train_datasets[_key("rel", name, lang, multi)] = \
+                    PretrainDataset(
+                        stores, caps, tokenizer, train_order=train_order,
+                        n_feeders=jax.process_count(),
+                        feeder_id=jax.process_index(),
+                        sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
+                        clager=clager, lang=lang, seed=cfg.seed)
         elif cfg.is_mild or name == "mild":
-            # MILD query-based retrieval: train.<lang>.pkl maps
-            # image_id -> [(query, passage), ...]
-            from m3p_tpu.data.datasets import MILDDataset
-
-            queries = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
-            if queries is None:
-                continue
-            out.train_datasets[("rel", name)] = MILDDataset(
-                queries, stores[0], tokenizer, qp_type=cfg.qp_type,
-                lang=lang, sample_n=cfg.data.sample_n,
-                max_len=cfg.data.max_len, clager=clager, seed=cfg.seed)
-            test_q = _load_captions(os.path.join(root, f"test.{lang}.pkl"))
-            if test_q:
-                mild_eval = MILDDataset(test_q, stores[0], tokenizer,
-                                        qp_type=cfg.qp_type, lang=lang)
-                out.eval_data["retrieval_test"] = \
-                    build_eval_retrieval_arrays(
-                        mild_eval.captions, stores[0], tokenizer,
-                        max_len=cfg.data.max_len, caps_per_image=1)
+            _load_mild(cfg, out, root, langs, multi, tokenizer, clager,
+                       eval_put)
         else:
-            cap_path = os.path.join(root, f"train.{lang}.pkl")
-            captions = _load_captions(cap_path)
-            if captions is None:
-                continue
-            out.train_datasets[("rel", name)] = RetrievalDataset(
-                captions, stores[0], tokenizer, lang=lang,
-                sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
-                clager=clager, seed=cfg.seed)
-            test_caps = _load_captions(os.path.join(root, f"test.{lang}.pkl"))
-            if test_caps:
-                out.eval_data["retrieval_test"] = \
-                    build_eval_retrieval_arrays(
-                        test_caps, stores[0], tokenizer,
-                        max_len=cfg.data.max_len)
+            for lang in langs:
+                cap_path = os.path.join(root, f"train.{lang}.pkl")
+                captions = _load_captions(cap_path)
+                if captions is None:
+                    continue
+                ds = RetrievalDataset(
+                    captions, stores[0], tokenizer, lang=lang,
+                    sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
+                    clager=clager, seed=cfg.seed)
+                out.train_datasets[_key("rel", name, lang, multi)] = ds
+                valid_caps = _load_captions(
+                    os.path.join(root, f"valid.{lang}.pkl"), warn=False)
+                if valid_caps:
+                    vds = RetrievalDataset(
+                        valid_caps, stores[0], tokenizer, lang=lang,
+                        sample_n=cfg.data.sample_n, max_len=cfg.data.max_len)
+                    pairs = list(vds.epoch_iterator(
+                        cfg.data.batch_size))[:EVAL_BATCHES]
+                    eval_put("retrieval_valid_batches", lang,
+                             [b for pair in pairs for b in pair])
+                test_caps = _load_captions(
+                    os.path.join(root, f"test.{lang}.pkl"))
+                if test_caps:
+                    eval_put("retrieval_test", lang,
+                             build_eval_retrieval_arrays(
+                                 test_caps, stores[0], tokenizer,
+                                 max_len=cfg.data.max_len))
 
-    # ---- captioning --------------------------------------------------
-    for name, _mod in parse_steps(cfg.cross_ic_steps):
+    # ---- captioning / TIFG / IDA(bart_img) -----------------------------
+    cap_like = ([("ic", n) for n, _ in parse_steps(cfg.cross_ic_steps)]
+                + [("tifg", n) for n, _ in parse_steps(cfg.tifg_steps)]
+                + [("bart_img", n) for n, _ in
+                   parse_steps(cfg.cross_ae_steps)])
+    for task, name in cap_like:
         root = _dataset_root(cfg, name, dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
-        lang = langs[0]
-        captions = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
-        if not h5s or captions is None:
+        if not h5s:
+            logger.warning("no feature shards under %s", root)
             continue
         store = RegionFeatureStore(h5s[0], cfg.data.max_region_num)
-        out.train_datasets[("ic", name)] = CaptionDataset(
-            captions, store, tokenizer, lang=lang, max_len=cfg.data.max_len,
-            clager=clager, seed=cfg.seed)
+        for lang in langs:
+            captions = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
+            if captions is None:
+                continue
+            out.train_datasets[_key(task, name, lang, multi)] = \
+                CaptionDataset(
+                    captions, store, tokenizer, lang=lang,
+                    max_len=cfg.data.max_len, clager=clager, seed=cfg.seed,
+                    region_noise=(task == "bart_img"))
+            if task != "ic":
+                continue
+            test_caps = _load_captions(
+                os.path.join(root, f"test.{lang}.pkl"), warn=False)
+            if test_caps:
+                # caption generation eval: decode each test image once,
+                # score against all its reference captions
+                # (`evaluate_image_caption`, `xevaluator.py:903-1117`)
+                gen_ds = CaptionDataset(
+                    {i: caps[:1] for i, caps in test_caps.items()},
+                    store, tokenizer, lang=lang, max_len=cfg.data.max_len)
+                batches = list(gen_ds.epoch_iterator(
+                    cfg.eval.eval_batch_size, shuffle=False))
+                img_order = [img_id for img_id, _ in gen_ds.items]
+                eval_put("caption_gen", lang, {
+                    "batches": batches,
+                    "references": [test_caps[i] for i in img_order],
+                    "tokenizer": tokenizer,
+                    "lang_id": cfg.lang2id.get(lang)})
+            valid_caps = _load_captions(
+                os.path.join(root, f"valid.{lang}.pkl"), warn=False)
+            if valid_caps:
+                vds = CaptionDataset(valid_caps, store, tokenizer, lang=lang,
+                                     max_len=cfg.data.max_len)
+                eval_put("caption_batches", lang, list(vds.epoch_iterator(
+                    cfg.data.batch_size))[:EVAL_BATCHES])
 
-    # ---- MT / NTG ----------------------------------------------------
-    step_groups = [("mt", cfg.cross_mt_steps), ("ntg", cfg.ntg_steps)]
+    # ---- MT / NTG ------------------------------------------------------
+    # NTG drives from text_steps under --is_ntg (`train_x.py:443-445`)
+    ntg_steps = cfg.ntg_steps or (cfg.text_steps if cfg.is_ntg else "")
+    step_groups = [("mt", cfg.cross_mt_steps), ("ntg", ntg_steps)]
     for kind, steps in step_groups:
         for src, tgt in parse_steps(steps):
             if tgt is None:
                 continue
-            base = os.path.join(cfg.data.data_path,
-                                f"train.{src}-{tgt}")
-            src_path, tgt_path = f"{base}.{src}.txt", f"{base}.{tgt}.txt"
-            if not (os.path.exists(src_path) and os.path.exists(tgt_path)):
-                logger.warning("parallel data missing: %s", base)
+            pair = _load_parallel(cfg.data.data_path, "train", src, tgt)
+            if pair is None:
+                logger.warning("parallel data missing: %s-%s", src, tgt)
                 continue
-            with open(src_path, encoding="utf-8") as f:
-                src_texts = [l.rstrip("\n") for l in f]
-            with open(tgt_path, encoding="utf-8") as f:
-                tgt_texts = [l.rstrip("\n") for l in f]
             out.train_datasets[(kind, src)] = ParallelDataset(
-                src_texts, tgt_texts, tokenizer, max_len=cfg.data.max_len,
+                pair[0], pair[1], tokenizer, max_len=cfg.data.max_len,
                 seed=cfg.seed, src_lang_id=cfg.lang2id.get(src),
                 tgt_lang_id=cfg.lang2id.get(tgt))
+            vpair = _load_parallel(cfg.data.data_path, "valid", src, tgt)
+            if vpair:
+                vds = ParallelDataset(
+                    vpair[0], vpair[1], tokenizer, max_len=cfg.data.max_len,
+                    src_lang_id=cfg.lang2id.get(src),
+                    tgt_lang_id=cfg.lang2id.get(tgt))
+                batches = list(vds.epoch_iterator(
+                    cfg.data.batch_size, shuffle=False))[:EVAL_BATCHES]
+                eval_put(f"{kind}_batches", src, batches)
+                # generation eval against the raw target sentences
+                # (`evaluate_mt`/`evaluate_ntg_generate`)
+                n_refs = len(batches) * cfg.data.batch_size
+                order = np.argsort([len(s) for s in vpair[0]],
+                                   kind="stable")[:n_refs]
+                eval_put(f"{kind}_gen", src, {
+                    "batches": batches,
+                    "references": [[vpair[1][i]] for i in order],
+                    "tokenizer": tokenizer,
+                    "lang_id": cfg.lang2id.get(tgt),
+                    "name": kind})
 
-    # ---- slide -------------------------------------------------------
+    # ---- slide ---------------------------------------------------------
     for name, _mod in parse_steps(cfg.slide_steps):
         root = _dataset_root(cfg, "slide", dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
-        items_path = os.path.join(root, "train.tsv")
-        if not h5s or not os.path.exists(items_path):
+        if not h5s:
             logger.warning("slide data missing under %s", root)
             continue
-        items = []
-        with open(items_path, encoding="utf-8") as f:
-            for line in f:
-                parts = line.rstrip("\n").split("\t")
-                if len(parts) >= 3:
-                    items.append((parts[0], parts[1], int(parts[2])))
-        out.train_datasets[("slide", name)] = SlideDataset(
-            items, RegionFeatureStore(h5s[0], cfg.data.max_region_num),
-            tokenizer, max_len=cfg.data.max_len, seed=cfg.seed)
+        store = RegionFeatureStore(h5s[0], cfg.data.max_region_num)
+        for split in ("train", "test"):
+            items_path = os.path.join(root, f"{split}.tsv")
+            if not os.path.exists(items_path):
+                continue
+            items = []
+            with open(items_path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 3:
+                        items.append((parts[0], parts[1], int(parts[2])))
+            ds = SlideDataset(items, store, tokenizer,
+                              max_len=cfg.data.max_len, seed=cfg.seed)
+            if split == "train":
+                out.train_datasets[("slide", name)] = ds
+            else:
+                out.eval_data["slide_batches"] = list(ds.epoch_iterator(
+                    cfg.data.batch_size))[:EVAL_BATCHES]
 
-    logger.info("loaded %d train datasets; eval keys: %s",
-                len(out.train_datasets), sorted(out.eval_data.keys()))
+    logger.info("loaded %d train datasets (%s); eval keys: %s",
+                len(out.train_datasets), sorted(out.train_datasets.keys()),
+                sorted(out.eval_data.keys()))
     return out
+
+
+def _load_mild(cfg, out, root, langs, multi, tokenizer, clager,
+               eval_put) -> None:
+    """MILD query-based retrieval: per-language feature h5s
+    (``train.<lang>.h5``, `MILD_finetune.py:75`) with (query, passage) pkls;
+    falls back to a shared shard when per-language files are absent.  Builds
+    the caption-eval variant too (`MILDEvaluateCaptionDataset`,
+    `MILD_finetune.py:944-974`)."""
+    from m3p_tpu.data.datasets import MILDDataset
+
+    shared_h5s = sorted(set(glob.glob(os.path.join(root, "*.h5")))
+                        - set(glob.glob(os.path.join(root, "*.*.h5"))))
+    for lang in langs:
+        lang_h5 = os.path.join(root, f"train.{lang}.h5")
+        h5 = lang_h5 if os.path.exists(lang_h5) else \
+            (shared_h5s[0] if shared_h5s else None)
+        if h5 is None:
+            continue
+        store = RegionFeatureStore(h5, cfg.data.max_region_num)
+        queries = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
+        if queries is None:
+            continue
+        out.train_datasets[_key("rel", "mild", lang, multi)] = MILDDataset(
+            queries, store, tokenizer, qp_type=cfg.qp_type, lang=lang,
+            sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
+            clager=clager, seed=cfg.seed)
+        test_h5 = os.path.join(root, f"test.{lang}.h5")
+        test_store = RegionFeatureStore(test_h5, cfg.data.max_region_num) \
+            if os.path.exists(test_h5) else store
+        test_q = _load_captions(os.path.join(root, f"test.{lang}.pkl"),
+                                warn=False)
+        if test_q:
+            mild_eval = MILDDataset(test_q, test_store, tokenizer,
+                                    qp_type=cfg.qp_type, lang=lang)
+            eval_put("retrieval_test", lang, build_eval_retrieval_arrays(
+                mild_eval.captions, test_store, tokenizer,
+                max_len=cfg.data.max_len, caps_per_image=1))
+        # MILD caption eval: generate the passage from the image, CIDEr/BLEU
+        cap_q = _load_captions(os.path.join(root, f"test.caption.{lang}.pkl"),
+                               warn=False)
+        if cap_q:
+            gen_ds = CaptionDataset({i: c[:1] for i, c in cap_q.items()},
+                                    test_store, tokenizer, lang=lang,
+                                    max_len=cfg.data.max_len)
+            img_order = [img_id for img_id, _ in gen_ds.items]
+            eval_put("caption_gen", lang, {
+                "batches": list(gen_ds.epoch_iterator(
+                    cfg.eval.eval_batch_size, shuffle=False)),
+                "references": [cap_q[i] for i in img_order],
+                "tokenizer": tokenizer,
+                "lang_id": cfg.lang2id.get(lang)})

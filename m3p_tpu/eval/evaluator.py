@@ -220,54 +220,61 @@ class Evaluator:
                       ) -> Dict[str, float]:
         """Dispatch over whatever eval data is provided.
 
-        eval_data keys (all optional):
-          mlm_batches, mt_batches, mmt_batches, caption_batches,
-          retrieval_valid_batches, retrieval_test (tuple of grid arrays),
-          caption_gen (dict with batches/references/tokenizer/lang_id),
-          slide_batches
+        eval_data keys (all optional; a ``.<lang>`` suffix prefixes the
+        resulting score names with ``<lang>_`` — the per-language loop the
+        reference runs over `ft_lgs` in `run_all_evals`,
+        `xevaluator.py:120-281`):
+          mlm_batches, clm_batches, mass_batches, mt_batches, mmt_batches,
+          ntg_batches, caption_batches, retrieval_valid_batches,
+          retrieval_test (tuple of grid arrays),
+          caption_gen / mt_gen / ntg_gen (dict with batches/references/
+          tokenizer/lang_id), slide_batches
         """
         scores: Dict[str, float] = {}
-        if "mlm_batches" in eval_data:
-            scores.update(self.evaluate_mlm(params, eval_data["mlm_batches"]))
-        if "clm_batches" in eval_data:
-            scores.update(self.evaluate_clm(params, eval_data["clm_batches"]))
-        if "mass_batches" in eval_data:
-            key = jax.random.PRNGKey(EVAL_SEED)
-            losses = [float(S.mass_loss(self.model, params,
-                                        {k: jnp.asarray(v)
-                                         for k, v in b.items()},
-                                        key, deterministic=True)[0])
-                      for b in eval_data["mass_batches"]]
-            mean = float(np.mean(losses)) if losses else float("nan")
-            scores["mass_ppl"] = float(np.exp(min(mean, 30.0)))
-        if "mt_batches" in eval_data:
-            scores.update(self.evaluate_seq2seq(params,
-                                                eval_data["mt_batches"]))
-        if "mmt_batches" in eval_data:
-            scores.update(self.evaluate_seq2seq(
-                params, eval_data["mmt_batches"], multimodal=True,
-                name="mmt"))
-        if "caption_batches" in eval_data:
-            scores.update(self.evaluate_caption_loss(
-                params, eval_data["caption_batches"]))
-        if "retrieval_valid_batches" in eval_data:
-            scores.update(self.evaluate_retrieval_valid(
-                params, eval_data["retrieval_valid_batches"]))
-        if "retrieval_test" in eval_data:
-            scores.update(self.evaluate_retrieval_test(
-                params, *eval_data["retrieval_test"]))
-        if "caption_gen" in eval_data:
-            g = eval_data["caption_gen"]
-            scores.update(self.evaluate_captioning(
-                params, g["batches"], g["references"], g["tokenizer"],
-                g.get("lang_id")))
-        if "mt_gen" in eval_data:
-            g = eval_data["mt_gen"]
-            scores.update(self.evaluate_translation(
-                params, g["batches"], g["references"], g["tokenizer"],
-                g.get("lang_id"), g.get("name", "mt")))
-        if "slide_batches" in eval_data:
-            scores.update(self.evaluate_slide(params,
-                                              eval_data["slide_batches"]))
+        for key in sorted(eval_data.keys()):
+            base, _, suffix = key.partition(".")
+            prefix = f"{suffix}_" if suffix else ""
+            data = eval_data[key]
+            got: Dict[str, float] = {}
+            if base == "mlm_batches":
+                got = self.evaluate_mlm(params, data)
+            elif base == "clm_batches":
+                got = self.evaluate_clm(params, data)
+            elif base == "mass_batches":
+                rng = jax.random.PRNGKey(EVAL_SEED)
+                losses = [float(S.mass_loss(self.model, params,
+                                            {k: jnp.asarray(v)
+                                             for k, v in b.items()},
+                                            rng, deterministic=True)[0])
+                          for b in data]
+                mean = float(np.mean(losses)) if losses else float("nan")
+                got = {"mass_ppl": float(np.exp(min(mean, 30.0)))}
+            elif base == "mt_batches":
+                got = self.evaluate_seq2seq(params, data)
+            elif base == "ntg_batches":
+                got = self.evaluate_seq2seq(params, data, name="ntg")
+            elif base == "mmt_batches":
+                got = self.evaluate_seq2seq(params, data, multimodal=True,
+                                            name="mmt")
+            elif base == "caption_batches":
+                got = self.evaluate_caption_loss(params, data)
+            elif base == "retrieval_valid_batches":
+                got = self.evaluate_retrieval_valid(params, data)
+            elif base == "retrieval_test":
+                got = self.evaluate_retrieval_test(params, *data)
+            elif base == "caption_gen":
+                got = self.evaluate_captioning(
+                    params, data["batches"], data["references"],
+                    data["tokenizer"], data.get("lang_id"))
+            elif base in ("mt_gen", "ntg_gen"):
+                got = self.evaluate_translation(
+                    params, data["batches"], data["references"],
+                    data["tokenizer"], data.get("lang_id"),
+                    data.get("name", "mt"))
+            elif base == "slide_batches":
+                got = self.evaluate_slide(params, data)
+            else:
+                logger.warning("unknown eval family: %s", key)
+            scores.update({f"{prefix}{k}": v for k, v in got.items()})
         logger.info("__log__:%s", scores)
         return scores

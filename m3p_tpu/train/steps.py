@@ -317,7 +317,8 @@ def tifg_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
     encode the caption, causally "decode" the image stream with
     cross-attention, regress the refined image embedding with MSE."""
     r_t, r_i, r_d = jax.random.split(rng, 3)
-    text_mask = lengths_to_mask(batch["text_len"], batch["tokens"].shape[1])
+    text_len = batch["text_len"] if "text_len" in batch else batch["tgt_len"]
+    text_mask = lengths_to_mask(text_len, batch["tokens"].shape[1])
     img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
     target = model.apply(
         {"params": params}, batch["feats"], batch["locs"], img_mask, None,

@@ -83,7 +83,10 @@ class Trainer:
             "mrm": cfg.lambda_mrm, "mrfr": cfg.lambda_mrfr,
             "clcm": cfg.lambda_clcm, "ic": cfg.lambda_ic,
             "mt": cfg.lambda_mt, "t2i": cfg.lambda_t2i,
-            "i2t": cfg.lambda_i2t,
+            "i2t": cfg.lambda_i2t, "clm": cfg.lambda_clm,
+            "mass": cfg.lambda_mass, "imlm": cfg.lambda_imlm,
+            "ida": cfg.lambda_ida, "tifg": cfg.lambda_tifg,
+            "pc": cfg.lambda_pc, "ae": cfg.lambda_ae,
         })
 
         self.stats = StatsAccumulator()
@@ -144,23 +147,34 @@ class Trainer:
         elif kind == "slide":
             def loss_fn(p, b, key, **lam):
                 return S.slide_loss(model, p, b, key)
-        elif kind in ("mass", "bart"):
-            # batches come pre-noised from span_masking host transforms
+        elif kind in ("mass", "bart", "ae", "bart_img"):
+            # batches come pre-noised from the loader's host transforms
+            # (span_masking.mass_mask / bart_infill, noise.add_noise,
+            # span_masking.poisson_region_noise)
             if kind == "mass":
                 def loss_fn(p, b, key, **lam):
                     loss, m = S.mass_loss(model, p, b, key)
                     return lam.get("lambda_mass", 1.0) * loss, m
-            else:
+            elif kind == "bart":
                 def loss_fn(p, b, key, **lam):
                     loss, m = S.mt_loss(model, p, b, key)
-                    return lam.get("lambda_mass", 1.0) * loss, m
+                    return lam.get("lambda_imlm", 1.0) * loss, m
+            elif kind == "ae":
+                def loss_fn(p, b, key, **lam):
+                    loss, m = S.mt_loss(model, p, b, key)
+                    return lam.get("lambda_ae", 1.0) * loss, m
+            else:  # bart_img: IDA region-denoising captioning
+                def loss_fn(p, b, key, **lam):
+                    loss, m = S.caption_loss(model, p, b, key)
+                    return lam.get("lambda_ida", 1.0) * loss, m
         elif kind == "tifg":
             def loss_fn(p, b, key, **lam):
                 loss, m = S.tifg_loss(model, p, b, key)
                 return lam.get("lambda_tifg", 1.0) * loss, m
         elif kind == "pc":
             def loss_fn(p, b, key, **lam):
-                return S.pc_loss(model, p, b, key)
+                loss, m = S.pc_loss(model, p, b, key)
+                return lam.get("lambda_pc", 1.0) * loss, m
         else:
             raise ValueError(f"unknown step kind: {kind}")
 
@@ -198,8 +212,16 @@ class Trainer:
             return next(self._iterators[task])
 
     def _make_iterator(self, task: Tuple[str, str]):
+        from m3p_tpu.data.datasets import PretrainDataset
+
         dataset = self.datasets[task]
-        raw = dataset.epoch_iterator(self.cfg.data.batch_size, self.epoch)
+        if self.cfg.is_pretrain and isinstance(dataset, PretrainDataset):
+            # CLCM concat-caption pairs ride the i2t pretrain batches
+            # (`sample_captions`, `dataset_pretrain.py:412-497`)
+            raw = dataset.epoch_iterator(self.cfg.data.batch_size,
+                                         self.epoch, with_clcm=True)
+        else:
+            raw = dataset.epoch_iterator(self.cfg.data.batch_size, self.epoch)
         it = prefetch_to_device(raw, sharding=self.batch_sharding)
         self._iterators[task] = it
         return it
@@ -212,11 +234,9 @@ class Trainer:
         """Run one optimization step of the given objective."""
         batch = self._get_batch(task)
         lambdas = update_lambdas(self.schedules, self.n_total_iter)
-        lam_kwargs = {f"lambda_{k}": v for k, v in lambdas.items()
-                      if f"lambda_{k}" in ("lambda_rel", "lambda_mlm",
-                                           "lambda_mrm", "lambda_mrfr",
-                                           "lambda_clcm", "lambda_ic",
-                                           "lambda_mt")}
+        # every schedule value goes in as a scalar kwarg; each loss_fn picks
+        # the coefficients it uses (scalars never trigger recompiles)
+        lam_kwargs = {f"lambda_{k}": v for k, v in lambdas.items()}
         step = self._get_step(kind)
         # stable across processes/restarts: Python's hash() is salted per
         # process (PYTHONHASHSEED), which would resume with different
@@ -224,15 +244,19 @@ class Trainer:
         task_h = zlib.crc32("-".join(map(str, task)).encode()) % 10007
         key = jax.random.PRNGKey(
             self.cfg.seed + self.n_total_iter * 977 + task_h)
+        def stat_value(metrics):
+            for name in ("loss", "ce", kind):
+                if name in metrics:
+                    return metrics[name]
+            return next((v for k, v in metrics.items() if k != "acc"), 0.0)
+
         if isinstance(batch, tuple):  # (t2i, i2t) paired batches
             for b in batch:
                 self.state, metrics = step(self.state, b, key, **lam_kwargs)
-                self.stats.add(f"{kind}-{task[0]}", metrics.get(
-                    "loss", metrics.get("ce", metrics.get("mlm", 0.0))))
+                self.stats.add(f"{kind}-{task[1]}", stat_value(metrics))
         else:
             self.state, metrics = step(self.state, batch, key, **lam_kwargs)
-            self.stats.add(f"{kind}-{task[0]}", metrics.get(
-                "loss", metrics.get("ce", metrics.get("mlm", 0.0))))
+            self.stats.add(f"{kind}-{task[1]}", stat_value(metrics))
         bs = self.cfg.data.batch_size
         self.n_sentences += bs
         self.speed.update(bs, bs * self.cfg.data.max_len)
@@ -251,25 +275,63 @@ class Trainer:
                     rates["sentences_per_s"], rates["words_per_s"], lr)
         self.speed.reset()
 
+    # dataset-key prefix -> step kind; "rel"/"mt" resolve per config below
+    _TASK_KINDS = ("mlm", "clm", "rel", "ic", "mt", "ntg", "slide", "mass",
+                   "bart", "pc", "tifg", "bart_img", "ae")
+
     def active_tasks(self) -> List[Tuple[str, Tuple[str, str]]]:
-        """(step_kind, dataset_key) pairs derived from the config DSLs."""
-        out: List[Tuple[str, Tuple[str, str]]] = []
+        """(step_kind, dataset_key) pairs.
+
+        Derived from the loaded dataset keys (which carry per-language
+        suffixes in multi-language runs); falls back to the config step DSLs
+        when the Trainer was constructed without datasets (dry runs).  The
+        reference derives the same dispatch from the step DSLs directly
+        (`train_x.py:427-480`)."""
+
+        def kind_of(prefix: str) -> str:
+            if prefix == "rel":
+                return "pretrain_rel" if self.cfg.is_pretrain else "rel"
+            if prefix == "mt":
+                return "mt_ic" if self.cfg.is_mt else "mt"
+            return prefix
+
+        if self.datasets:
+            return [(kind_of(key[0]), key)
+                    for key in sorted(self.datasets.keys())
+                    if key[0] in self._TASK_KINDS]
+
         from m3p_tpu.config import parse_steps
 
-        for lang, _ in parse_steps(self.cfg.mlm_steps):
+        out: List[Tuple[str, Tuple[str, str]]] = []
+        cfg = self.cfg
+        for lang, _ in parse_steps(cfg.mlm_steps):
             out.append(("mlm", ("mlm", lang)))
-        for lang, _ in parse_steps(getattr(self.cfg, "clm_steps", "")):
+            if cfg.is_generation:
+                # `train_x.py:457-460`
+                out.append(("bart", ("bart", lang)))
+                out.append(("mass", ("mass", lang)))
+        for lang, _ in parse_steps(cfg.clm_steps):
             out.append(("clm", ("clm", lang)))
-        kind = "pretrain_rel" if self.cfg.is_pretrain else "rel"
-        for ds, mod in parse_steps(self.cfg.cross_rel_steps):
-            out.append((kind, ("rel", ds)))
-        for ds, mod in parse_steps(self.cfg.cross_ic_steps):
+        for lang, _ in parse_steps(cfg.mass_steps):
+            out.append(("mass", ("mass", lang)))
+        for lang, _ in parse_steps(cfg.ae_steps):
+            out.append(("ae", ("ae", lang)))
+        for a, _ in parse_steps(cfg.pc_steps):
+            out.append(("pc", ("pc", a)))
+        for ds, _ in parse_steps(cfg.cross_rel_steps):
+            out.append((kind_of("rel"), ("rel", ds)))
+        for ds, _ in parse_steps(cfg.cross_ic_steps):
             out.append(("ic", ("ic", ds)))
-        for a, b in parse_steps(self.cfg.cross_mt_steps):
-            out.append(("mt_ic" if self.cfg.is_mt else "mt", ("mt", a)))
-        for a, b in parse_steps(self.cfg.ntg_steps):
+        for ds, _ in parse_steps(cfg.tifg_steps):
+            out.append(("tifg", ("tifg", ds)))
+        for ds, _ in parse_steps(cfg.cross_ae_steps):
+            out.append(("bart_img", ("bart_img", ds)))
+        for a, _ in parse_steps(cfg.cross_mt_steps):
+            out.append((kind_of("mt"), ("mt", a)))
+        ntg_steps = cfg.ntg_steps or (cfg.text_steps if cfg.is_ntg else "")
+        for a, _ in parse_steps(ntg_steps):
             out.append(("ntg", ("ntg", a)))
-        for a, b in parse_steps(self.cfg.slide_steps):
+        for a, _ in parse_steps(cfg.slide_steps):
             out.append(("slide", ("slide", a)))
         return out
 

@@ -1,0 +1,188 @@
+"""Objective routing: every implemented objective is schedulable from the
+CLI DSLs (MASS / BART / PC / TIFG / IDA / AE), and multi-language data
+plumbing produces per-language datasets and eval keys.
+
+Reference dispatch: `train_x.py:427-480`, `xtrainer.py:1595-1866`.
+"""
+
+import dataclasses
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p_tpu.cli.train_x import args_to_config, get_parser
+from m3p_tpu.config import small_test_config
+from m3p_tpu.data.features import write_feature_shard
+from m3p_tpu.data.loader import load_data
+from m3p_tpu.model import build_model
+from m3p_tpu.tokenization.unigram import train_unigram
+from m3p_tpu.train.trainer import Trainer
+
+WORDS = ["red", "cat", "dog", "tree", "house", "runs", "blue", "small"]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("routing")
+    rng = np.random.RandomState(0)
+
+    vocab = str(tmp / "vocab.tsv")
+    sents = [" ".join(rng.choice(WORDS, 6)) for _ in range(60)]
+    train_unigram(sents, vocab_size=120).save(vocab)
+
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    tok = XLMRTokenizer(vocab)
+    for lang in ("en", "de"):
+        stream = np.concatenate(
+            [np.array([0] + tok.encode(s) + [2], np.int32) for s in sents])
+        np.save(tmp / f"train.{lang}.npy", stream)
+        np.save(tmp / f"valid.{lang}.npy", stream[:200])
+        for split in ("train", "valid"):
+            with open(tmp / f"{split}.en-de.en.txt", "w") as f:
+                f.write("\n".join(sents[:40]) + "\n")
+            with open(tmp / f"{split}.en-de.de.txt", "w") as f:
+                f.write("\n".join(sents[20:60]) + "\n")
+
+    root = tmp / "coco"
+    root.mkdir()
+    n, r = 8, 4
+    write_feature_shard(
+        str(root / "train.h5"),
+        features=rng.randn(n, r, 2048).astype(np.float32),
+        boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+        num_boxes=np.full(n, r, np.int64),
+        wh=np.full((n, 2), 100, np.float32),
+        image_ids=[f"i{k}" for k in range(n)],
+        objects=rng.randint(0, 1600, (n, r)),
+    )
+    caps = {f"i{k}": [" ".join(rng.choice(WORDS, 5)) for _ in range(2)]
+            for k in range(n)}
+    for lang in ("en", "de"):
+        for split in ("train", "valid", "test"):
+            with open(root / f"{split}.{lang}.pkl", "wb") as f:
+                pickle.dump(caps, f)
+    return tmp, vocab, r
+
+
+def _small_cfg(cfg, r):
+    model = dataclasses.replace(
+        small_test_config().model, n_words=cfg.model.n_words,
+        mask_index=cfg.model.mask_index, max_region_num=r,
+        n_langs=cfg.model.n_langs)
+    data = dataclasses.replace(cfg.data, batch_size=2, sample_n=2,
+                               max_len=16, max_region_num=r, bptt=16)
+    return cfg.replace(model=model, data=data, epoch_size=4)
+
+
+def test_generation_objectives_from_cli(corpus_dir):
+    """--mass_steps en --pc_steps en-de --cross_gan_steps coco-img
+    --cross_ae_steps coco-img --ae_steps en all build datasets, schedule,
+    and train (the VERDICT item-4 acceptance)."""
+    tmp, vocab, r = corpus_dir
+    argv = ["--data_path", str(tmp), "--vocab_path", vocab, "--lgs", "en-de",
+            "--mass_steps", "en", "--pc_steps", "en-de",
+            "--cross_gan_steps", "coco-img", "--cross_ae_steps", "coco-img",
+            "--ae_steps", "en", "--ft_lgs", "en",
+            "--max_region_num", str(r), "--sample_n", "2", "--bptt", "16"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    tok = XLMRTokenizer(vocab)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, n_words=tok.vocab_size, mask_index=tok.mask_token_id))
+    cfg = _small_cfg(cfg, r)
+    data = load_data(cfg)
+    for key in [("mass", "en"), ("pc", "en"), ("tifg", "coco"),
+                ("bart_img", "coco"), ("ae", "en")]:
+        assert key in data.train_datasets, (key, data.train_datasets.keys())
+    assert "mass_batches" in data.eval_data
+
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, model, params, data.train_datasets)
+    kinds = {k for k, _ in trainer.active_tasks()}
+    assert kinds == {"mass", "pc", "tifg", "bart_img", "ae"}
+
+    # every objective optimizes; MASS loss decreases over repeated steps
+    mass_losses = []
+    for _ in range(6):
+        trainer.step_once("mass", ("mass", "en"))
+        mass_losses.append(float(trainer.stats._stats["mass-en"][-1]))
+    for kind, task in trainer.active_tasks():
+        if kind == "mass":
+            continue
+        trainer.step_once(kind, task)
+    for name, vals in trainer.stats.flush().items():
+        assert np.isfinite(vals), (name, vals)
+    assert mass_losses[-1] < mass_losses[0], mass_losses
+
+
+def test_is_generation_routes_bart_and_mass(corpus_dir):
+    """--is_generation drives bart_mlm + bart_mass from mlm_steps
+    (`train_x.py:457-460`)."""
+    tmp, vocab, r = corpus_dir
+    argv = ["--data_path", str(tmp), "--vocab_path", vocab, "--lgs", "en",
+            "--mlm_steps", "en", "--is_generation", "True", "--bptt", "16"]
+    cfg = _small_cfg(args_to_config(get_parser().parse_args(argv)), r)
+    data = load_data(cfg)
+    assert ("mlm", "en") in data.train_datasets
+    assert ("bart", "en") in data.train_datasets
+    assert ("mass", "en") in data.train_datasets
+    # bart batches are mt_loss-shaped
+    b = next(data.train_datasets[("bart", "en")].epoch_iterator(2))
+    assert {"src_tokens", "src_len", "tgt_tokens", "tgt_len"} <= set(b)
+    # DSL fallback (no datasets) matches
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    t = Trainer(cfg, model, params, datasets=None)
+    kinds = {k for k, _ in t.active_tasks()}
+    assert kinds == {"mlm", "bart", "mass"}
+
+
+def test_multilanguage_retrieval_and_eval_keys(corpus_dir):
+    """en+de fine-tune: per-language dataset keys and per-language eval
+    score prefixes (VERDICT item 7)."""
+    tmp, vocab, r = corpus_dir
+    argv = ["--data_path", str(tmp), "--vocab_path", vocab, "--lgs", "en-de",
+            "--cross_rel_steps", "coco-img", "--max_region_num", str(r),
+            "--sample_n", "2"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    tok = XLMRTokenizer(vocab)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, n_words=tok.vocab_size, mask_index=tok.mask_token_id))
+    cfg = _small_cfg(cfg, r)
+    data = load_data(cfg)
+    assert ("rel", "coco:en") in data.train_datasets
+    assert ("rel", "coco:de") in data.train_datasets
+    assert "retrieval_test.en" in data.eval_data
+    assert "retrieval_valid_batches.de" in data.eval_data
+
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, model, params, data.train_datasets)
+    tasks = trainer.active_tasks()
+    assert ("rel", ("rel", "coco:en")) in tasks
+    assert ("rel", ("rel", "coco:de")) in tasks
+
+    from m3p_tpu.eval.evaluator import Evaluator
+
+    ev = Evaluator(model, cfg)
+    scores = ev.run_all_evals(params, {
+        k: v for k, v in data.eval_data.items()
+        if k.startswith("retrieval_test")})
+    assert "en_i2t_r1" in scores and "de_i2t_r1" in scores, scores
+
+
+def test_ntg_from_text_steps(corpus_dir):
+    """--is_ntg --text_steps en-de drives ntg (`train_x.py:443-445`)."""
+    tmp, vocab, r = corpus_dir
+    argv = ["--data_path", str(tmp), "--vocab_path", vocab, "--lgs", "en-de",
+            "--is_ntg", "True", "--text_steps", "en-de"]
+    cfg = _small_cfg(args_to_config(get_parser().parse_args(argv)), r)
+    data = load_data(cfg)
+    assert ("ntg", "en") in data.train_datasets
+    assert "ntg_gen" in data.eval_data or "ntg_gen.en" in data.eval_data
