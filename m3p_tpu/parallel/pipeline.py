@@ -183,3 +183,40 @@ def pipelined_encode_joint(
         check_vma=False,
     )(stacked, (mb, mb_mask))
     return out_mb.reshape(b, *x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# full train step through the pipeline (loss + grad, not just the encoder)
+# ---------------------------------------------------------------------------
+
+
+def make_pp_itm_train_step(model, mesh, sample_n: int, axis: str = "pp",
+                           n_microbatches: int = 2, donate: bool = False):
+    """Jitted retrieval train step whose joint encoder runs pipelined over
+    the ``pp`` axis: loss and parameter gradients flow through the GPipe
+    schedule (ppermute is linear, so jax.grad derives the reverse schedule).
+    Deterministic forward (PP training runs without per-stage dropout).
+
+    Same (state, batch, rng) -> (state, metrics) contract as
+    `m3p_tpu.train.steps.make_train_step`; loss/grads match the unsharded
+    ITM step exactly (asserted in dryrun_multichip).
+    """
+    from m3p_tpu.model.transformer import lengths_to_mask
+    from m3p_tpu.train import steps as S
+
+    def loss_fn(params, batch, rng):
+        tokens = batch["tokens"]
+        text_mask = lengths_to_mask(batch["text_len"], tokens.shape[1])
+        img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+        hidden = pipelined_encode_joint(
+            model, params, tokens, text_mask, batch["feats"], batch["locs"],
+            img_mask, mesh, axis=axis, n_microbatches=n_microbatches,
+            refine_image=True)
+        scores = model.apply({"params": params}, hidden,
+                             method=model.itm_score)
+        ce, bce = S.itm_grid_losses(scores, batch["pos_label"], sample_n)
+        loss = ce + bce
+        return loss, {"loss": loss, "ce": ce, "bce": bce}
+
+    return S.make_train_step(lambda p, b, k, **lam: loss_fn(p, b, k),
+                             donate=donate)

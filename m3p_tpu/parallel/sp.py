@@ -64,3 +64,34 @@ def seq_parallel_encode_joint(
         check_vma=False,
     )
     return fn(params, x, joint_mask)
+
+
+def make_sp_itm_train_step(model, mesh: Mesh, sample_n: int,
+                           axis: str = "seq", donate: bool = False):
+    """Jitted retrieval train step with the encoder stack sequence-parallel:
+    activations shard over ``axis`` inside shard_map (ring attention for
+    self-attention), the ITM loss is computed on the gathered pooled token,
+    and gradients flow back through the collectives.  Deterministic forward.
+
+    Loss/grads match the unsharded ITM step (asserted in dryrun_multichip).
+    """
+    from m3p_tpu.model.transformer import lengths_to_mask
+    from m3p_tpu.train import steps as S
+
+    def loss_fn(params, batch, rng):
+        tokens = batch["tokens"]
+        text_mask = lengths_to_mask(batch["text_len"], tokens.shape[1])
+        img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+        hidden = seq_parallel_encode_joint(
+            model, params, tokens, text_mask, batch["feats"], batch["locs"],
+            img_mask, mesh, axis=axis, refine_image=True)
+        scores = model.apply({"params": params}, hidden,
+                             method=model.itm_score)
+        from m3p_tpu.train.steps import itm_grid_losses
+
+        ce, bce = itm_grid_losses(scores, batch["pos_label"], sample_n)
+        loss = ce + bce
+        return loss, {"loss": loss, "ce": ce, "bce": bce}
+
+    return S.make_train_step(lambda p, b, k, **lam: loss_fn(p, b, k),
+                             donate=donate)

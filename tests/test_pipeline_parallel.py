@@ -119,3 +119,65 @@ def test_pipelined_encode_joint_matches(pp_mesh):
                                  locs, img_mask, pp_mesh,
                                  n_microbatches=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pp_train_step_parity(pp_mesh):
+    """Loss and gradients through the pipelined train step match the
+    unsharded ITM train step (VERDICT item 6)."""
+    import jax
+
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.data import synthetic
+    from m3p_tpu.model import build_model
+    from m3p_tpu.parallel.pipeline import make_pp_itm_train_step
+    from m3p_tpu.train import steps as S
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer("adam,lr=0.01")
+    rng = np.random.RandomState(0)
+    batch_np = synthetic.make_pretrain_batch(
+        rng, 4, cfg.data.sample_n, cfg.data.max_len,
+        cfg.data.max_region_num, cfg.model.n_words)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(0)
+
+    def ref_loss(p):
+        return S.itm_finetune_loss(model, p, batch, key, cfg.data.sample_n,
+                                   deterministic=True)[0]
+
+    # pp_mesh has 4 stages but the small model has 2 layers -> 2-stage mesh
+    mesh2 = Mesh(np.array(pp_mesh.devices.flatten()[:2]), ("pp",))
+    pp_step = make_pp_itm_train_step(model, mesh2, cfg.data.sample_n,
+                                     n_microbatches=2)
+    state = create_train_state(params, tx)
+    _, pp_m = pp_step(state, batch, key)
+    np.testing.assert_allclose(float(pp_m["loss"]), float(ref_loss(params)),
+                               rtol=1e-5)
+
+    # gradient parity: an optimizer step sign-normalizes and amplifies float
+    # noise on analytically-zero leaves (k_lin biases), so compare raw grads
+    from m3p_tpu.model.transformer import lengths_to_mask
+    from m3p_tpu.parallel.pipeline import pipelined_encode_joint
+
+    def pp_loss(p):
+        tm = lengths_to_mask(batch["text_len"], batch["tokens"].shape[1])
+        im = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
+        hidden = pipelined_encode_joint(
+            model, p, batch["tokens"], tm, batch["feats"], batch["locs"],
+            im, mesh2, n_microbatches=2, refine_image=True)
+        scores = model.apply({"params": p}, hidden, method=model.itm_score)
+        ce, bce = S.itm_grid_losses(scores, batch["pos_label"],
+                                    cfg.data.sample_n)
+        return ce + bce
+
+    g_ref = jax.grad(ref_loss)(params)
+    g_pp = jax.grad(pp_loss)(params)
+
+    def check(a, b):
+        tol = 1e-6 + 1e-3 * float(np.max(np.abs(np.asarray(a))))
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) <= tol
+
+    jax.tree.map(check, g_ref, g_pp)
