@@ -54,10 +54,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--sinusoidal_embeddings", type=bool_flag, default=False)
     p.add_argument("--attention_setting", type=str, default="v1")
     p.add_argument("--asm", type=bool_flag, default=False)
+    p.add_argument("--asm_cutoffs", type=str, default="8000,20000")
+    p.add_argument("--asm_div_value", type=float, default=4)
     p.add_argument("--refine_image", type=bool_flag, default=True)
     p.add_argument("--refine_layers", type=int, default=3)
     p.add_argument("--refine_encoder", type=bool_flag, default=False)
     p.add_argument("--use_externel_att", type=bool_flag, default=False)
+    p.add_argument("--image_fusion", type=bool_flag, default=False)
 
     # masking / noise
     p.add_argument("--word_pred", type=float, default=0.15)
@@ -191,6 +194,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--norm_type", type=str, default="l2")
 
     # TPU-native extensions (no reference equivalent)
+    p.add_argument("--use_grain", type=bool_flag, default=True,
+                   help="Grain input pipeline (checkpointable iterators)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_tensor", type=int, default=1)
@@ -211,8 +216,11 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         sinusoidal_embeddings=args.sinusoidal_embeddings,
         max_region_num=args.max_region_num,
         refine_layers=args.refine_layers, asm=args.asm,
+        asm_cutoffs=tuple(int(c) for c in args.asm_cutoffs.split(",") if c),
+        asm_div_value=args.asm_div_value,
         attention_setting=args.attention_setting,
         use_externel_att=args.use_externel_att,
+        image_fusion=args.image_fusion,
         dtype="bfloat16" if args.fp16 else "float32",
         use_pallas_attention=args.use_pallas_attention,
         remat=args.remat,
@@ -229,6 +237,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         cross_lingual_path=args.cross_lingual_path,
         mct_sent_ratio=args.sent_ratio, mct_word_ratio=args.word_ratio,
         seed=args.seed, num_workers=args.num_workers, bptt=args.bptt,
+        use_grain=args.use_grain,
     )
     optim = OptimConfig(spec=args.optimizer,
                         clip_grad_norm=args.clip_grad_norm,
@@ -293,10 +302,14 @@ def main(argv=None) -> None:
     from m3p_tpu.data.loader import load_data
     from m3p_tpu.eval.evaluator import Evaluator
     from m3p_tpu.model import build_model
-    from m3p_tpu.parallel.mesh import make_mesh
+    from m3p_tpu.parallel.mesh import auto_init_distributed, make_mesh
     from m3p_tpu.train.trainer import Trainer
     from m3p_tpu.utils.logging import initialize_exp
     from m3p_tpu import checkpoint as ckpt
+
+    # multi-host bootstrap BEFORE first device use (replaces the reference's
+    # SLURM/NCCL init, `slurm.py:46-170`)
+    auto_init_distributed()
 
     args = get_parser().parse_args(argv)
     cfg = args_to_config(args)
@@ -334,7 +347,21 @@ def main(argv=None) -> None:
                         len(paths))
         params = ckpt.merge_params(params, loaded)
         logger.info("reloaded model weights from %s", args.reload_model)
-    trainer = Trainer(cfg, model, params, data.train_datasets)
+    # mesh-shard the train state whenever more than one device is visible
+    # (DP over 'data', FSDP/TP per --mesh_* flags); single chip runs unsharded
+    mesh = None
+    if len(jax.devices()) > 1:
+        candidate = make_mesh(cfg.mesh)
+        dp = candidate.shape["data"] * candidate.shape["fsdp"]
+        if cfg.data.batch_size % dp == 0:
+            mesh = candidate
+            logger.info("device mesh: %s", dict(mesh.shape))
+        else:
+            logger.warning(
+                "batch_size %d not divisible by data*fsdp=%d — running "
+                "unsharded; adjust --batch_size or --mesh_*",
+                cfg.data.batch_size, dp)
+    trainer = Trainer(cfg, model, params, data.train_datasets, mesh=mesh)
     trainer.install_preemption_handler()
     # auto-resume from dump_path/checkpoint when present (reference
     # `reload_checkpoint`, `xtrainer.py:566-571`); --reload_checkpoint

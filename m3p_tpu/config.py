@@ -90,7 +90,12 @@ class ModelConfig:
     use_image_dist: bool = False     # 1600-d class-distribution embedding input
     attention_setting: str = "v1"
     use_externel_att: bool = False
-    asm: bool = False                # adaptive softmax (unsupported; CE only)
+    # BiDAF image->text fusion before the text encoder stack — the
+    # reference's per-call ``image_fusion`` flag (`transformer.py:838-839`)
+    image_fusion: bool = False
+    asm: bool = False                # adaptive softmax head (`transformer.py:93-100`)
+    asm_cutoffs: Tuple[int, ...] = (8000, 20000)
+    asm_div_value: float = 4.0
     eos_index: int = EOS_IDX
     pad_index: int = PAD_IDX
     bos_index: int = BOS_IDX
@@ -111,6 +116,8 @@ class ModelConfig:
     # int8-quantized FFN GEMMs (v5e int8 MXU, straight-through gradients);
     # "none" | "int8" — a training-mode choice with no reference equivalent
     ffn_quant: str = "none"
+    # int8 vocab-head GEMM (the 250k-vocab tied projection): "none"|"int8_bwd"
+    head_quant: str = "none"
     # sequence-parallel mode: name of the mesh axis the sequence dim is
     # sharded over; self-attention runs ring attention inside shard_map
     # (see m3p_tpu.parallel.sp)
@@ -177,6 +184,9 @@ class DataConfig:
     mct_word_ratio: float = 0.3
     seed: int = 12345
     num_workers: int = 4
+    # Grain input pipeline (deterministic, checkpointable, sharded); the
+    # thread prefetcher is the fallback for unsupported dataset objects
+    use_grain: bool = True
     # static-shape MLM: max masked positions per sequence (TPU-native; the
     # reference gathers a dynamic number, `xtrainer.py:385-434`)
     max_pred_per_seq: int = 24
@@ -317,6 +327,26 @@ def scale_up_config(**overrides: Any) -> TrainConfig:
     data = DataConfig(lgs="-".join(f"l{i}" for i in range(100)),
                       batch_size=8, sample_n=4)
     cfg = TrainConfig(model=model, mesh=mesh, data=data, is_pretrain=True)
+    for k, v in overrides.items():
+        cfg = cfg.replace(**{k: v})
+    return cfg
+
+
+def long_context_config(**overrides: Any) -> TrainConfig:
+    """Long-sequence preset: sequence dim sharded over a ``seq`` mesh axis,
+    ring attention inside the blocks, Pallas flash attention at long KV,
+    rematerialized blocks.  Lifts the reference's hard 514-position cap
+    (`transformer.py:16`, SURVEY.md §5.7) — positions scale with
+    max_positions, memory scales out over the seq axis."""
+    model = ModelConfig(
+        n_words=250002, mask_index=250001, emb_dim=768, n_layers=12,
+        n_heads=12, max_positions=8192, max_region_num=100,
+        dtype="bfloat16", remat=True, use_pallas_attention=True,
+        seq_axis="seq",
+    )
+    mesh = MeshConfig(data=-1, fsdp=1, seq=4, tensor=1)
+    data = DataConfig(max_len=4096, batch_size=8)
+    cfg = TrainConfig(model=model, mesh=mesh, data=data)
     for k, v in overrides.items():
         cfg = cfg.replace(**{k: v})
     return cfg

@@ -248,7 +248,7 @@ class MILDDataset(RetrievalDataset):
         assert qp_type in ("q", "qp")
         self.qp_type = qp_type
         captions = {
-            img_id: [q if qp_type == "q" else f"{q} {p}"
+            img_id: [q if qp_type == "q" else f"{q} </s> {p}"
                      for q, p in pairs]
             for img_id, pairs in queries.items()}
         super().__init__(captions, store, tokenizer, **kw)

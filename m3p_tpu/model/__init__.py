@@ -18,6 +18,10 @@ def _full_surface_init(model: M3PModel, tokens, text_mask, feats, locs,
     causal decode with cross-attention, and all five heads."""
     hidden = model.encode_joint(tokens, text_mask, feats, locs, img_mask,
                                 refine_image=True)
+    if model.cfg.image_fusion:
+        r = feats.shape[1]
+        model.encode_text(tokens, text_mask, image_enc=hidden[:, :r],
+                          image_mask=img_mask)
     enc, _ = model.encode_text(tokens, text_mask, langs=langs)
     dec, _ = model.encode_text(tokens, text_mask, causal=True, src_enc=enc,
                                src_mask=text_mask)

@@ -34,6 +34,21 @@ def _embed(num: int, dim: int, dtype, param_dtype, name: str, axes):
     )
 
 
+def sinusoidal_table(n_pos: int, dim: int):
+    """Fixed sin/cos position table (`create_sinusoidal_embeddings`,
+    `transformer.py:37-46`): sin on even dims, cos on odd, frequency
+    10000^(2*(j//2)/dim)."""
+    import numpy as np
+
+    j = np.arange(dim)
+    inv_freq = 1.0 / np.power(10000.0, 2 * (j // 2) / dim)
+    enc = np.arange(n_pos)[:, None] * inv_freq[None, :]
+    out = np.empty((n_pos, dim), np.float32)
+    out[:, 0::2] = np.sin(enc[:, 0::2])
+    out[:, 1::2] = np.cos(enc[:, 1::2])
+    return jnp.asarray(out)
+
+
 class TextEmbeddings(nn.Module):
     """Word + learned-position + optional language embeddings."""
 
@@ -42,14 +57,21 @@ class TextEmbeddings(nn.Module):
     dim: int
     max_positions: int
     dropout: float = 0.0
+    sinusoidal: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self) -> None:
         self.word = _embed(self.n_words, self.dim, self.dtype,
                            self.param_dtype, "word", ("vocab", "embed"))
-        self.position = _embed(self.max_positions, self.dim, self.dtype,
-                               self.param_dtype, "position", (None, "embed"))
+        if self.sinusoidal:
+            # fixed, non-learned table (`--sinusoidal_embeddings`)
+            table = sinusoidal_table(self.max_positions, self.dim)
+            self.position = lambda pos: table[pos].astype(self.dtype)
+        else:
+            self.position = _embed(self.max_positions, self.dim, self.dtype,
+                                   self.param_dtype, "position",
+                                   (None, "embed"))
         self.lang = _embed(self.n_langs, self.dim, self.dtype,
                            self.param_dtype, "lang", (None, "embed"))
         self.ln_emb = LayerNorm(dtype=self.dtype, name="ln_emb")
@@ -112,9 +134,14 @@ class AoAAttention(nn.Module):
     dim: int
     dropout: float = 0.0
     dropout_aoa: float = 0.1
+    # attention-WEIGHT dropout: separate from the residual dropout so the
+    # fused-attention fast path engages when it is 0 (the slow branch
+    # materializes fp32 (B,H,R,R) scores + a per-weight random mask)
+    attention_dropout: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    quant: str = "none"   # int8 path for the 2d->2d AoA gate GEMM
 
     @nn.compact
     def __call__(self, x: jax.Array, pad_mask: jax.Array,
@@ -130,14 +157,14 @@ class AoAAttention(nn.Module):
         k = split(_dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))(x))
         v = split(_dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))(x))
 
-        if not deterministic and self.dropout > 0.0:
+        if not deterministic and self.attention_dropout > 0.0:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(jnp.float32(dh))
             neg = jnp.finfo(jnp.float32).min * 0.7
             scores = jnp.where(pad_mask[:, None, None, :], scores, neg)
             w = jax.nn.softmax(scores, axis=-1)
-            w = nn.Dropout(rate=self.dropout)(w, deterministic=False)
+            w = nn.Dropout(rate=self.attention_dropout)(w, deterministic=False)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
         else:
             ctx = attention(q, k, v, pad_mask, use_pallas=self.use_pallas)
@@ -146,7 +173,14 @@ class AoAAttention(nn.Module):
         gate_in = jnp.concatenate([ctx, x], axis=-1)
         gate_in = nn.Dropout(rate=self.dropout_aoa)(
             gate_in, deterministic=deterministic)
-        g = _dense(2 * self.dim, d, pd, "aoa", (None, "embed"))(gate_in)
+        if self.quant in ("int8", "int8_bwd", "int8_all"):
+            from m3p_tpu.model.layers import QuantDense
+
+            g = QuantDense(2 * self.dim, d, pd, (None, "embed"),
+                           self.quant in ("int8_bwd", "int8_all"),
+                           name="aoa")(gate_in)
+        else:
+            g = _dense(2 * self.dim, d, pd, "aoa", (None, "embed"))(gate_in)
         a, gate = jnp.split(g, 2, axis=-1)
         return a * jax.nn.sigmoid(gate)
 
@@ -158,9 +192,11 @@ class AoARefinerLayer(nn.Module):
     dim: int
     ffn_dim: int
     dropout: float = 0.1
+    attention_dropout: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, pad_mask: jax.Array,
@@ -169,14 +205,15 @@ class AoARefinerLayer(nn.Module):
         h = LayerNorm(dtype=self.dtype, name="ln_attn")(x)
         h = AoAAttention(
             n_heads=self.n_heads, dim=self.dim, dropout=self.dropout,
-            dropout_aoa=self.dropout, dtype=self.dtype,
+            dropout_aoa=self.dropout,
+            attention_dropout=self.attention_dropout, dtype=self.dtype,
             param_dtype=self.param_dtype, use_pallas=self.use_pallas,
             name="aoa_attn")(h, pad_mask, deterministic)
         x = x + drop(h, deterministic=deterministic)
         h = LayerNorm(dtype=self.dtype, name="ln_ffn")(x)
         h = TransformerFFN(
             dim=self.dim, hidden_dim=self.ffn_dim, dropout=self.dropout,
-            gelu_activation=True, dtype=self.dtype,
+            gelu_activation=True, dtype=self.dtype, quant=self.quant,
             param_dtype=self.param_dtype, name="ffn")(h, deterministic)
         return x + drop(h, deterministic=deterministic)
 
@@ -189,9 +226,11 @@ class AoARefiner(nn.Module):
     ffn_dim: int
     n_layers: int = 3
     dropout: float = 0.1
+    attention_dropout: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, pad_mask: jax.Array,
@@ -199,7 +238,9 @@ class AoARefiner(nn.Module):
         for i in range(self.n_layers):
             x = AoARefinerLayer(
                 n_heads=self.n_heads, dim=self.dim, ffn_dim=self.ffn_dim,
-                dropout=self.dropout, dtype=self.dtype,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout, dtype=self.dtype,
                 param_dtype=self.param_dtype, use_pallas=self.use_pallas,
-                name=f"layer_{i}")(x, pad_mask, deterministic)
+                quant=self.quant, name=f"layer_{i}")(x, pad_mask,
+                                                     deterministic)
         return LayerNorm(dtype=self.dtype, name="ln_out")(x)

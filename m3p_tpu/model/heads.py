@@ -25,11 +25,60 @@ from m3p_tpu.ops.activations import gelu_erf
 Dtype = Any
 
 
-class PredLayer(nn.Module):
-    """Vocab scores via the (tied) word-embedding matrix + per-word bias."""
+class AdaptiveSoftmax(nn.Module):
+    """Adaptive softmax (`nn.AdaptiveLogSoftmaxWithLoss` semantics,
+    `transformer.py:93-100`): the head scores the ``cutoffs[0]`` most
+    frequent words plus one slot per tail cluster; each tail cluster i
+    projects down by ``div_value^(i+1)`` before scoring its word range.
+
+    Returns FULL normalized log-probabilities (..., n_words): because they
+    are normalized (logsumexp == 0), ``softmax_cross_entropy`` on them equals
+    -log p[target] and ``log_softmax`` is the identity — so the output is
+    plug-compatible with the dense PredLayer logits everywhere (losses,
+    generation, scoring).  Shapes are static; the FLOP savings come from the
+    reduced tail projection dims, the TPU-friendly part of ASM.
+    """
 
     n_words: int
     dim: int
+    cutoffs: tuple = (8000, 20000)
+    div_value: float = 4.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d, pd = self.dtype, self.param_dtype
+        edges = list(self.cutoffs) + [self.n_words]
+        n_clusters = len(edges) - 1
+        head = _dense(edges[0] + n_clusters, d, pd, "head",
+                      ("embed", "vocab"))(x)
+        head_lp = jax.nn.log_softmax(head.astype(jnp.float32), axis=-1)
+        parts = [head_lp[..., :edges[0]]]
+        for i in range(n_clusters):
+            lo, hi = edges[i], edges[i + 1]
+            proj_dim = max(int(self.dim / self.div_value ** (i + 1)), 1)
+            h = _dense(proj_dim, d, pd, f"tail_{i}_proj",
+                       ("embed", None), use_bias=False)(x)
+            logits = _dense(hi - lo, d, pd, f"tail_{i}_out",
+                            (None, "vocab"), use_bias=False)(h)
+            tail_lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            parts.append(head_lp[..., edges[0] + i:edges[0] + i + 1]
+                         + tail_lp)
+        return jnp.concatenate(parts, axis=-1).astype(d)
+
+
+class PredLayer(nn.Module):
+    """Vocab scores via the (tied) word-embedding matrix + per-word bias.
+
+    ``quant="int8_bwd"`` routes the (tokens, D) x (V, D)^T GEMM — the single
+    largest matmul in the MCT step at V=250k — through the v5e int8 MXU
+    (2x the bf16 rate), forward and dgrad/wgrad, with straight-through
+    gradients (`m3p_tpu.ops.quant.int8_matmul_nt`)."""
+
+    n_words: int
+    dim: int
+    quant: str = "none"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -42,7 +91,21 @@ class PredLayer(nn.Module):
             "bias",
             nn.with_logical_partitioning(nn.initializers.zeros_init(), ("vocab",)),
             (self.n_words,), self.param_dtype)
-        if embedding is None:
+        if self.quant == "int8_bwd":
+            from m3p_tpu.ops.quant import int8_matmul, int8_matmul_nt
+
+            x2d = x.reshape(-1, x.shape[-1])
+            if embedding is None:
+                kernel = self.param(
+                    "kernel",
+                    nn.with_logical_partitioning(
+                        nn.initializers.lecun_normal(), ("embed", "vocab")),
+                    (self.dim, self.n_words), self.param_dtype)
+                logits = int8_matmul(x2d, kernel.astype(self.dtype))
+            else:
+                logits = int8_matmul_nt(x2d, embedding.astype(self.dtype))
+            logits = logits.reshape(*x.shape[:-1], self.n_words)
+        elif embedding is None:
             kernel = self.param(
                 "kernel",
                 nn.with_logical_partitioning(

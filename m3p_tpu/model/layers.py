@@ -25,11 +25,13 @@ LN_EPS = 1e-12  # all LayerNorms in the reference use eps=1e-12
 Cache = Dict[str, jax.Array]
 
 
-def _dense(features: int, dtype, param_dtype, name: str, logical_axes):
+def _dense(features: int, dtype, param_dtype, name: str, logical_axes,
+           use_bias: bool = True):
     return nn.Dense(
         features,
         dtype=dtype,
         param_dtype=param_dtype,
+        use_bias=use_bias,
         kernel_init=nn.with_logical_partitioning(
             nn.initializers.lecun_normal(), logical_axes),
         bias_init=nn.with_logical_partitioning(

@@ -53,13 +53,15 @@ class M3PModel(nn.Module):
         self.text_emb = TextEmbeddings(
             n_words=cfg.n_words, n_langs=cfg.n_langs, dim=cfg.emb_dim,
             max_positions=cfg.max_positions, dropout=cfg.dropout,
+            sinusoidal=cfg.sinusoidal_embeddings,
             dtype=dtype, param_dtype=pdtype, name="text_emb")
         self.image_emb = ImageEmbeddings(
             dim=cfg.emb_dim, dropout=cfg.dropout, dtype=dtype,
             param_dtype=pdtype, name="image_emb")
         self.refiner = AoARefiner(
             n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
-            n_layers=cfg.refine_layers, dropout=cfg.dropout, dtype=dtype,
+            n_layers=cfg.refine_layers, dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout, dtype=dtype,
             param_dtype=pdtype, use_pallas=cfg.use_pallas_attention,
             name="refiner")
 
@@ -80,9 +82,24 @@ class M3PModel(nn.Module):
             for i in range(cfg.n_layers)
         ]
 
-        self.pred_layer = PredLayer(
-            n_words=cfg.n_words, dim=cfg.emb_dim, dtype=dtype,
-            param_dtype=pdtype, name="pred_layer")
+        if cfg.asm:
+            from m3p_tpu.model.heads import AdaptiveSoftmax
+
+            self.pred_layer = AdaptiveSoftmax(
+                n_words=cfg.n_words, dim=cfg.emb_dim,
+                cutoffs=tuple(cfg.asm_cutoffs), div_value=cfg.asm_div_value,
+                dtype=dtype, param_dtype=pdtype, name="pred_layer_asm")
+        else:
+            self.pred_layer = PredLayer(
+                n_words=cfg.n_words, dim=cfg.emb_dim, quant=cfg.head_quant,
+                dtype=dtype, param_dtype=pdtype, name="pred_layer")
+        # BiDAF-style image->text fusion, live in the reference under the
+        # ``image_fusion`` crossfwd flag (`transformer.py:838-839,1068-1069`)
+        from m3p_tpu.model.misc import CrossAlignMatrix
+
+        self.cross_align = CrossAlignMatrix(dim=cfg.emb_dim, dtype=dtype,
+                                            param_dtype=pdtype,
+                                            name="cross_align")
         self.obj_pred = ObjPredLayer(
             n_obj_classes=cfg.n_obj_classes, dim=cfg.emb_dim, dtype=dtype,
             param_dtype=pdtype, name="obj_pred")
@@ -121,11 +138,17 @@ class M3PModel(nn.Module):
         cache: Optional[Cache] = None,
         deterministic: bool = True,
         token_embeds: Optional[jax.Array] = None,
+        image_enc: Optional[jax.Array] = None,   # (B, R, D) image encoding
+        image_mask: Optional[jax.Array] = None,  # (B, R)
     ) -> Tuple[jax.Array, Optional[Cache]]:
+        """``image_enc``/``image_mask`` engage the BiDAF image->text fusion
+        before the encoder stack (the reference ``image_fusion`` path)."""
         x = self.text_emb(tokens, positions=positions, langs=langs,
                           deterministic=deterministic,
                           token_embeds=token_embeds)
         x = x * text_mask[..., None].astype(x.dtype)
+        if image_enc is not None and image_mask is not None:
+            x = self.cross_align(x, image_enc, image_mask)
         return self._run_blocks(x, text_mask, causal=causal, src_enc=src_enc,
                                 src_mask=src_mask, cache=cache,
                                 deterministic=deterministic)
@@ -273,7 +296,11 @@ class M3PModel(nn.Module):
     # ------------------------------------------------------------------
 
     def word_logits(self, hidden: jax.Array) -> jax.Array:
-        """(…, D) -> (…, n_words) via the tied word embedding + bias."""
+        """(…, D) -> (…, n_words) via the tied word embedding + bias, or
+        normalized adaptive-softmax log-probs when cfg.asm (plug-compatible:
+        logsumexp == 0 makes CE/argmax/log_softmax behave identically)."""
+        if self.cfg.asm:
+            return self.pred_layer(hidden)
         emb = self.text_emb.word.embedding if self.cfg.share_inout_emb else None
         return self.pred_layer(hidden, embedding=emb)
 

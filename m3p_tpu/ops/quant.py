@@ -115,3 +115,49 @@ def _int8_qbwd_bwd(res, g):
 
 
 int8_matmul_qbwd.defvjp(_int8_qbwd_fwd, _int8_qbwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# transposed-weight variant for the tied vocab head: x (M,K) @ w (N,K)^T
+# without materializing w^T (the word embedding stays (V, D) in HBM)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def int8_matmul_nt(x: jax.Array, w: jax.Array) -> jax.Array:
+    """x (M, K) @ w (N, K)^T -> (M, N), int8 forward and int8 dgrad/wgrad
+    (straight-through quantizers).  Built for the 250k-vocab tied prediction
+    head — the single largest GEMM in the MCT step."""
+    return _nt_forward(x, w)
+
+
+def _nt_forward(x, w):
+    xq, sx = _quantize_axis(x, 1)          # (M,K), scale (M,1)
+    wq, sw = _quantize_axis(w, 1)          # (N,K), scale (N,1)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * sw.T).astype(x.dtype)
+
+
+def _nt_fwd(x, w):
+    return _nt_forward(x, w), (x, w)
+
+
+def _nt_bwd(res, g):
+    x, w = res
+    # dx[m,k] = sum_n g[m,n] w[n,k]
+    gq, sg = _quantize_axis(g, 1)          # (M,N), scale (M,1)
+    wq_c, sw_c = _quantize_axis(w, 0)      # (N,K), scale (1,K)
+    dx = jax.lax.dot_general(gq, wq_c, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dx = (dx.astype(jnp.float32) * sg * sw_c).astype(x.dtype)
+    # dw[n,k] = sum_m g[m,n] x[m,k]
+    gq_c, sg_c = _quantize_axis(g, 0)      # (M,N), scale (1,N)
+    xq_c, sx_c = _quantize_axis(x, 0)      # (M,K), scale (1,K)
+    dw = jax.lax.dot_general(gq_c, xq_c, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    dw = (dw.astype(jnp.float32) * sg_c.T * sx_c).astype(w.dtype)
+    return dx, dw
+
+
+int8_matmul_nt.defvjp(_nt_fwd, _nt_bwd)

@@ -32,6 +32,40 @@ def init_distributed(coordinator_address: Optional[str] = None,
                                    process_id)
 
 
+def auto_init_distributed() -> bool:
+    """Environment-driven multi-host bootstrap — the TPU-native analog of the
+    reference's SLURM/launcher env detection (`slurm.py:60-127`).
+
+    Detection order (first match wins):
+      1. explicit JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+         JAX_PROCESS_ID env (the launcher contract)
+      2. SLURM (SLURM_NTASKS > 1) or Cloud-TPU-pod metadata — both handled
+         by jax.distributed.initialize()'s built-in cluster auto-detection
+      3. single host: no-op
+
+    Returns True when the distributed runtime was initialized.  Must run
+    before first device use.
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if addr and nproc and int(nproc) > 1:
+        jax.distributed.initialize(addr, int(nproc),
+                                   int(os.environ.get("JAX_PROCESS_ID", 0)))
+        logger.info("distributed init: %s process %s/%s", addr,
+                    os.environ.get("JAX_PROCESS_ID", 0), nproc)
+        return True
+    tpu_hosts = [h for h in
+                 os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    if int(os.environ.get("SLURM_NTASKS", "1")) > 1 or len(tpu_hosts) > 1:
+        jax.distributed.initialize()  # built-in SLURM / TPU-pod detection
+        logger.info("distributed init (auto): process %d of %d",
+                    jax.process_index(), jax.process_count())
+        return True
+    return False
+
+
 def infer_mesh_shape(n_devices: int, cfg: Optional[MeshConfig] = None
                      ) -> Tuple[int, int, int, int]:
     """Resolve (data, fsdp, seq, tensor) sizes; -1 axes absorb the remainder."""

@@ -87,3 +87,24 @@ def shard_train_state(state, mesh: Mesh, param_pspecs, rules=LOGICAL_RULES):
     shardings = train_state_shardings(state, mesh, param_pspecs, rules)
     sharded = jax.tree.map(jax.device_put, state, shardings)
     return sharded, shardings
+
+
+def model_param_pspecs(model_cfg):
+    """Logical PartitionSpecs for a full M3P parameter tree via abstract init
+    (no real allocation) — the input `train_state_shardings` needs."""
+    import jax.numpy as jnp
+
+    from m3p_tpu.model import _init_method
+    from m3p_tpu.model.transformer import M3PModel
+
+    def abstract_init():
+        m = M3PModel(model_cfg)
+        b, s, r = 2, 4, 2
+        return m.init(jax.random.PRNGKey(0), jnp.zeros((b, s), jnp.int32),
+                      jnp.ones((b, s), bool),
+                      jnp.zeros((b, r, model_cfg.img_feat_dim), jnp.float32),
+                      jnp.zeros((b, r, model_cfg.img_loc_dim), jnp.float32),
+                      jnp.ones((b, r), bool), jnp.zeros((b, s), jnp.int32),
+                      method=_init_method)
+
+    return get_param_pspecs(abstract_init)

@@ -143,6 +143,8 @@ def mct_pretrain_loss(
     lambda_rel: jax.Array, lambda_mlm: jax.Array, lambda_mrm: jax.Array,
     lambda_mrfr: jax.Array, lambda_clcm: jax.Array,
     refine_image: bool = True, deterministic: bool = False,
+    text_delta: Optional[jax.Array] = None,
+    img_delta: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Metrics]:
     """The multitask pre-training step (`pretrain_under_step`).
 
@@ -178,31 +180,63 @@ def mct_pretrain_loss(
     masked_feats = jnp.where((coin < 1)[:, None, None], masked_feats,
                              batch["feats"])
 
+    # freeLB adversarial deltas: text on the (masked-)token embeddings,
+    # image on the raw region features (`freelb_pretrain_under_step`,
+    # `xtrainer.py:2404-2594`)
+    token_embeds = None
+    if text_delta is not None:
+        token_embeds = model.apply({"params": params}, masked_tokens,
+                                   method=model.embed_tokens) + text_delta
+    if img_delta is not None:
+        masked_feats = masked_feats + img_delta.astype(masked_feats.dtype)
+
     hidden = model.apply(
         {"params": params}, masked_tokens, text_mask, masked_feats,
         batch["locs"], img_mask, refine_image,
         method=model.encode_joint, rngs={"dropout": r_drop},
-        deterministic=deterministic)
+        deterministic=deterministic, token_embeds=token_embeds)
     img_out, text_out = hidden[:, :r], hidden[:, r:]
 
-    # MC-MLM
+    # MC-MLM — pack the active slots across the batch before the 250k-vocab
+    # projection: the 50/50 word/object coin leaves ~half the rows with zero
+    # text-prediction weight, so the largest GEMM of the step runs on a
+    # packed (BN*P/2, D) block instead of all BN*P slots.  top_k on the 0/1
+    # weights moves every active slot into the packed block (zero-weight
+    # slots contribute 0 to both the weighted-CE numerator and the weight
+    # sum), so the loss is bit-identical unless >BN*P/2 slots are active —
+    # impossible under the coin split except for astronomically unlikely
+    # draws, where the lowest-index surplus slots would drop.
     g_t = jnp.take_along_axis(text_out, pos_t[..., None], axis=1)
+    p_t = pos_t.shape[1]
+    k_pack = max((bn * p_t) // 2, 1)
+    pack_w, pack_idx = jax.lax.top_k(w_t.reshape(-1), k_pack)
+    g_pack = jnp.take(g_t.reshape(bn * p_t, -1), pack_idx, axis=0)
+    lab_pack = jnp.take(lab_t.reshape(-1), pack_idx)
     mlm = masked_ce(
-        model.apply({"params": params}, g_t, method=model.word_logits),
-        lab_t, w_t)
+        model.apply({"params": params}, g_pack, method=model.word_logits),
+        lab_pack, pack_w)
 
-    # MC-MRM (obj label -1 == unlabeled region, `transformer.py:585`)
+    # MC-MRM / MRFR — same cross-batch packing as MC-MLM above (the coin
+    # zeroes region weights on the word-masked half of the rows)
     g_r = jnp.take_along_axis(img_out, pos_r[..., None], axis=1)
-    w_obj = w_r * (lab_r >= 0).astype(jnp.float32)
+    p_r = pos_r.shape[1]
+    k_r = max((bn * p_r) // 2, 1)
+    packr_w, packr_idx = jax.lax.top_k(w_r.reshape(-1), k_r)
+    g_r_pack = jnp.take(g_r.reshape(bn * p_r, -1), packr_idx, axis=0)
+    lab_r_pack = jnp.take(lab_r.reshape(-1), packr_idx)
+    w_obj = packr_w * (lab_r_pack >= 0).astype(jnp.float32)
     mrm = masked_ce(
-        model.apply({"params": params}, g_r, method=model.obj_logits),
-        lab_r, w_obj)
+        model.apply({"params": params}, g_r_pack, method=model.obj_logits),
+        lab_r_pack, w_obj)
 
     # MRFR feature regression
-    pred_feats = model.apply({"params": params}, g_r,
+    tgt_r_pack = jnp.take(
+        tgt_r.reshape(bn * p_r, -1), packr_idx, axis=0)
+    pred_feats = model.apply({"params": params}, g_r_pack,
                              method=model.mrfr_predict).astype(jnp.float32)
-    se = jnp.mean((pred_feats - tgt_r.astype(jnp.float32)) ** 2, axis=-1)
-    mrfr = jnp.sum(se * w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+    se = jnp.mean((pred_feats - tgt_r_pack.astype(jnp.float32)) ** 2,
+                  axis=-1)
+    mrfr = jnp.sum(se * packr_w) / jnp.maximum(jnp.sum(packr_w), 1.0)
 
     # ITM over the candidate grid
     scores = model.apply({"params": params}, hidden, method=model.itm_score)

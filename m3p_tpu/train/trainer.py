@@ -64,6 +64,17 @@ class Trainer:
             accumulate_gradients=cfg.optim.accumulate_gradients,
             weight_decay=cfg.optim.weight_decay)
         self.state = create_train_state(params, tx)
+        if mesh is not None and state_shardings is None:
+            # derive FSDP/TP shardings from the model's logical axes
+            from m3p_tpu.parallel.sharding import (
+                batch_sharding as _bsh, model_param_pspecs,
+                train_state_shardings)
+
+            pspecs = model_param_pspecs(cfg.model)
+            state_shardings = train_state_shardings(self.state, mesh, pspecs)
+            self.state_shardings = state_shardings
+            if batch_sharding is None:
+                self.batch_sharding = _bsh(mesh)
         if mesh is not None and state_shardings is not None:
             self.state = jax.tree.map(jax.device_put, self.state,
                                       state_shardings)
@@ -100,6 +111,8 @@ class Trainer:
         self.should_stop = False
         self._steps: Dict[str, Callable] = {}
         self._iterators: Dict[Tuple[str, str], Iterator] = {}
+        self._grain_iterators: Dict[Tuple[str, str], Any] = {}
+        self._resume_sentences = 0
         self._pending_save = False
 
     # ------------------------------------------------------------------
@@ -178,22 +191,44 @@ class Trainer:
         else:
             raise ValueError(f"unknown step kind: {kind}")
 
-        if kind == "rel" and cfg.is_freelb:
-            # adversarial fine-tuning path (`free_lb_t2i/i2t_step`)
-            from m3p_tpu.train.freelb import FreeLBConfig, make_freelb_itm_step
-
-            step = make_freelb_itm_step(
-                model, cfg.data.sample_n,
-                FreeLBConfig(adv_steps=cfg.adv_steps, adv_lr=cfg.adv_lr,
-                             adv_max_norm=cfg.adv_max_norm,
-                             norm_type=cfg.norm_type),
-                state_shardings=self.state_shardings)
-            # freeLB steps ignore lambda kwargs
-            self._steps[kind] = lambda st, b, k, **lam: step(st, b, k)
-            return self._steps[kind]
-
         step = S.make_train_step(loss_fn, donate=True,
                                  state_shardings=self.state_shardings)
+
+        if cfg.is_freelb and kind in ("rel", "pretrain_rel", "ic"):
+            # reference dispatch runs the plain step AND the adversarial one
+            # (`train_x.py:454-456`, `xtrainer.py:1870-1876`)
+            from m3p_tpu.train.freelb import (
+                FreeLBConfig, make_freelb_ic_step, make_freelb_itm_step,
+                make_freelb_pretrain_step)
+
+            fl = FreeLBConfig(adv_steps=cfg.adv_steps, adv_lr=cfg.adv_lr,
+                              adv_max_norm=cfg.adv_max_norm,
+                              norm_type=cfg.norm_type)
+            if kind == "rel":
+                adv0 = make_freelb_itm_step(
+                    model, cfg.data.sample_n, fl,
+                    state_shardings=self.state_shardings)
+
+                def adv(st, b, k, **lam):
+                    return adv0(st, b, k)
+            elif kind == "pretrain_rel":
+                adv = make_freelb_pretrain_step(
+                    model, cfg.data.sample_n, self.mask_cfg, fl,
+                    state_shardings=self.state_shardings)
+            else:
+                adv = make_freelb_ic_step(
+                    model, fl, state_shardings=self.state_shardings)
+
+            def combined(st, b, k, **lam):
+                st, m = step(st, b, k, **lam)
+                st, m_adv = adv(st, b, k, **lam)
+                m = dict(m)
+                m["adv_loss"] = m_adv["loss"]
+                return st, m
+
+            self._steps[kind] = combined
+            return combined
+
         self._steps[kind] = step
         return step
 
@@ -213,18 +248,44 @@ class Trainer:
 
     def _make_iterator(self, task: Tuple[str, str]):
         from m3p_tpu.data.datasets import PretrainDataset
+        from m3p_tpu.data.grain_pipeline import (make_grain_loader,
+                                                 supports_grain)
 
         dataset = self.datasets[task]
-        if self.cfg.is_pretrain and isinstance(dataset, PretrainDataset):
-            # CLCM concat-caption pairs ride the i2t pretrain batches
-            # (`sample_captions`, `dataset_pretrain.py:412-497`)
-            raw = dataset.epoch_iterator(self.cfg.data.batch_size,
-                                         self.epoch, with_clcm=True)
+        if self.cfg.data.use_grain and supports_grain(dataset):
+            # the production path: deterministic, process-sharded,
+            # checkpointable (state saved in save_checkpoint)
+            git = iter(make_grain_loader(
+                dataset, self.cfg.data.batch_size, seed=self.cfg.seed,
+                epoch=self.epoch, with_clcm=self.cfg.is_pretrain))
+            self._grain_iterators[task] = git
+            it = self._stage_iterator(git)
         else:
-            raw = dataset.epoch_iterator(self.cfg.data.batch_size, self.epoch)
-        it = prefetch_to_device(raw, sharding=self.batch_sharding)
+            if self.cfg.is_pretrain and isinstance(dataset, PretrainDataset):
+                # CLCM concat-caption pairs ride the i2t pretrain batches
+                # (`sample_captions`, `dataset_pretrain.py:412-497`)
+                raw = dataset.epoch_iterator(self.cfg.data.batch_size,
+                                             self.epoch, with_clcm=True)
+            else:
+                raw = dataset.epoch_iterator(self.cfg.data.batch_size,
+                                             self.epoch)
+            it = prefetch_to_device(raw, sharding=self.batch_sharding)
         self._iterators[task] = it
         return it
+
+    def _stage_iterator(self, it):
+        """Inline device staging for grain iterators — keeps get_state()
+        exact (a background prefetcher would run the state ahead of the
+        batches actually consumed)."""
+
+        def put(x):
+            arr = jnp.asarray(x)
+            if self.batch_sharding is not None:
+                arr = jax.device_put(arr, self.batch_sharding)
+            return arr
+
+        for batch in it:
+            yield jax.tree.map(put, batch)
 
     # ------------------------------------------------------------------
     # the loop
@@ -355,7 +416,9 @@ class Trainer:
         tasks = self.active_tasks()
         assert tasks, "no active training tasks configured"
         probs = self.task_sampling_probs(tasks)
-        self.n_sentences = 0
+        # continue the epoch's sentence budget after a mid-epoch resume
+        self.n_sentences = self._resume_sentences
+        self._resume_sentences = 0
         while self.n_sentences < self.cfg.epoch_size and not self.should_stop:
             order = shuf_order(list(range(len(tasks))), probs=probs,
                                n=len(tasks), rng=self.rng)
@@ -376,20 +439,50 @@ class Trainer:
         return os.path.join(self.cfg.dump_path, name)
 
     def save_checkpoint(self, name: str = "checkpoint") -> None:
+        from m3p_tpu.data.grain_pipeline import save_loader_state
+
+        loader_state = {}
+        for task, git in self._grain_iterators.items():
+            try:
+                loader_state["|".join(map(str, task))] = \
+                    save_loader_state(git)
+            except Exception:  # exhausted/closed iterators
+                pass
         extra = {"epoch": self.epoch, "n_total_iter": self.n_total_iter,
-                 "best_metrics": self.best_metrics}
+                 "best_metrics": self.best_metrics,
+                 "n_sentences": self.n_sentences,
+                 "loader_state": loader_state}
         ckpt.save_checkpoint(self.checkpoint_path(name), self.state, extra)
         logger.info("saved checkpoint %s (epoch %d)", name, self.epoch)
 
     def reload_checkpoint(self, name: str = "checkpoint") -> bool:
+        from m3p_tpu.data.grain_pipeline import restore_loader_state
+
         path = self.checkpoint_path(name)
         if not os.path.isdir(path):
             return False
         self.state, extra = ckpt.restore_checkpoint(path, self.state)
-        self.epoch = int(extra.get("epoch", 0)) + 1
         self.n_total_iter = int(extra.get("n_total_iter", 0))
         self.best_metrics = dict(extra.get("best_metrics", {}))
-        logger.info("resumed from %s at epoch %d", path, self.epoch)
+        n_sent = int(extra.get("n_sentences", 0) or 0)
+        loader_state = extra.get("loader_state") or {}
+        if 0 < n_sent < self.cfg.epoch_size and loader_state:
+            # mid-epoch (preemption) checkpoint: stay in the epoch and seek
+            # the grain iterators back to their positions — training resumes
+            # without repeating or skipping batches
+            self.epoch = int(extra.get("epoch", 0))
+            self._resume_sentences = n_sent
+            for key_str, st in loader_state.items():
+                task = tuple(key_str.split("|"))
+                if task in self.datasets:
+                    self._make_iterator(task)
+                    restore_loader_state(self._grain_iterators[task], st)
+            logger.info("resumed MID-EPOCH from %s (epoch %d, %d sentences, "
+                        "%d loader states)", path, self.epoch, n_sent,
+                        len(loader_state))
+        else:
+            self.epoch = int(extra.get("epoch", 0)) + 1
+            logger.info("resumed from %s at epoch %d", path, self.epoch)
         return True
 
     def install_preemption_handler(self) -> None:
@@ -438,4 +531,6 @@ class Trainer:
             self.save_checkpoint(f"periodic-{self.epoch}")
         self.save_checkpoint()
         self.epoch += 1
-        self._iterators.clear()  # epoch-shard datasets re-open next epoch
+        # epoch-shard datasets re-open next epoch
+        self._iterators.clear()
+        self._grain_iterators.clear()

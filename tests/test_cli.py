@@ -148,3 +148,48 @@ def test_train_x_main_end_to_end(tmp_path):
 
     # eval-only resume path
     main(argv + ["--eval_only", "True"])
+
+
+def test_train_x_main_sharded_mesh(tmp_path):
+    """CLI on a multi-device backend: the train state shards over the mesh
+    (DP+TP) and one epoch + eval runs (VERDICT item 10 / multi-host wiring;
+    the 8 virtual CPU devices stand in for an 8-chip slice)."""
+    from m3p_tpu.cli.train_x import main
+    from m3p_tpu.data.features import write_feature_shard
+    from m3p_tpu.tokenization.unigram import train_unigram
+    import pickle as pkl
+
+    vocab = str(tmp_path / "vocab.tsv")
+    train_unigram(["red cat dog runs blue tree house"] * 30,
+                  vocab_size=80).save(vocab)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "coco"
+    root.mkdir()
+    n, r = 8, 4
+    write_feature_shard(
+        str(root / "train.h5"),
+        features=rng.randn(n, r, 2048).astype(np.float32),
+        boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+        num_boxes=np.full(n, r, np.int64),
+        wh=np.full((n, 2), 100, np.float32),
+        image_ids=[f"i{k}" for k in range(n)],
+        objects=rng.randint(0, 1600, (n, r)),
+    )
+    caps = {f"i{k}": ["red cat runs", "blue dog"] for k in range(n)}
+    for split in ("train", "test"):
+        with open(root / f"{split}.en.pkl", "wb") as f:
+            pkl.dump(caps, f)
+
+    main(["--data_path", str(tmp_path), "--vocab_path", vocab, "--lgs", "en",
+          "--cross_rel_steps", "coco-img", "--max_region_num", str(r),
+          "--sample_n", "2", "--batch_size", "4", "--max_len", "12",
+          "--emb_dim", "32", "--n_layers", "1", "--n_dec_layers", "1",
+          "--n_heads", "2", "--refine_layers", "1", "--dropout", "0",
+          "--attention_dropout", "0", "--fp16", "False",
+          "--mesh_data", "-1", "--mesh_tensor", "2",
+          "--epoch_size", "8", "--max_epoch", "1",
+          "--dump_path", str(tmp_path / "dump"), "--exp_name", "m",
+          "--exp_id", "s"])
+    log = (tmp_path / "dump" / "m" / "s" / "train.log").read_text()
+    assert "device mesh" in log and "'tensor': 2" in log
+    assert "__log__" in log

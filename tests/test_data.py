@@ -165,28 +165,73 @@ def test_determinism(tokenizer, store, captions):
 
 
 def test_grain_pipeline(tokenizer, store, captions):
-    gp_mod = pytest.importorskip("grain.python")
+    pytest.importorskip("grain.python")
     from m3p_tpu.data.grain_pipeline import (
-        make_retrieval_loader, restore_loader_state, save_loader_state)
+        make_grain_loader, restore_loader_state, save_loader_state)
 
     ds = RetrievalDataset(captions, store, tokenizer, sample_n=2, max_len=16,
                           seed=3)
-    loader = make_retrieval_loader(ds, batch_groups=3, seed=5,
-                                   num_epochs=2, shard_by_process=False)
+    loader = make_grain_loader(ds, batch_size=3, seed=5, num_epochs=2,
+                               shard_by_process=False)
     it = iter(loader)
-    b1 = next(it)
-    assert b1["tokens"].shape == (6, 16)       # 3 groups x sample_n 2
-    assert b1["feats"].shape == (6, 8, 2048)
-    assert b1["pos_label"].shape == (3,)
+    t2i, i2t = next(it)
+    assert t2i["tokens"].shape == (6, 16)       # 3 groups x sample_n 2
+    assert t2i["feats"].shape == (6, 8, 2048)
+    assert t2i["pos_label"].shape == (3,)
+    assert i2t["tokens"].shape == (6, 16)
 
     # checkpointable iterator: state restore reproduces the next batch
     state = save_loader_state(it)
-    b2 = next(it)
+    b2, _ = next(it)
     restore_loader_state(it, state)
-    b2_again = next(it)
+    b2_again, _ = next(it)
     np.testing.assert_array_equal(b2["tokens"], b2_again["tokens"])
 
     # determinism across fresh loaders
-    it2 = iter(make_retrieval_loader(ds, batch_groups=3, seed=5,
-                                     num_epochs=2, shard_by_process=False))
-    np.testing.assert_array_equal(b1["tokens"], next(it2)["tokens"])
+    it2 = iter(make_grain_loader(ds, batch_size=3, seed=5, num_epochs=2,
+                                 shard_by_process=False))
+    np.testing.assert_array_equal(t2i["tokens"], next(it2)[0]["tokens"])
+
+
+def test_grain_all_families(tokenizer, store, captions):
+    """Every dataset family has a grain source with the exact batch layout
+    its train step consumes (VERDICT item 9)."""
+    pytest.importorskip("grain.python")
+    from m3p_tpu.data.datasets import (CaptionDataset, NoisedStreamDataset,
+                                       ParallelDataset, PCDataset,
+                                       SlideDataset, StreamDataset)
+    from m3p_tpu.data.grain_pipeline import make_grain_loader, supports_grain
+    from m3p_tpu.data.loader import make_mass_transform
+
+    cap = CaptionDataset(captions, store, tokenizer, max_len=16)
+    b = next(iter(make_grain_loader(cap, 4, shard_by_process=False)))
+    assert b["tokens"].shape == (4, 16) and b["feats"].shape[0] == 4
+
+    par = ParallelDataset(["red cat"] * 8, ["blue dog"] * 8, tokenizer,
+                          max_len=12, src_lang_id=0, tgt_lang_id=1)
+    b = next(iter(make_grain_loader(par, 4, shard_by_process=False)))
+    assert b["src_tokens"].shape == (4, 12)
+    assert b["src_langs"].shape == (4, 12)
+
+    pc = PCDataset(["red cat"] * 8, ["blue dog"] * 8, tokenizer, max_len=12)
+    b = next(iter(make_grain_loader(pc, 4, shard_by_process=False)))
+    assert b["tokens"].shape == (4, 23) and b["labels"].shape == (4,)
+
+    sl = SlideDataset([(i, "red cat", k % 2) for k, i in
+                       enumerate(store.image_ids)], store, tokenizer,
+                      max_len=12)
+    b = next(iter(make_grain_loader(sl, 4, shard_by_process=False)))
+    assert b["labels"].shape == (4,) and b["img_len"].shape == (4,)
+
+    stream = np.arange(4, 400, dtype=np.int32)
+    st = StreamDataset(stream, bptt=16)
+    b = next(iter(make_grain_loader(st, 4, shard_by_process=False)))
+    assert b["tokens"].shape == (4, 16)
+
+    noised = NoisedStreamDataset(
+        stream, make_mass_transform(0.5, 510, 512), bptt=16)
+    b = next(iter(make_grain_loader(noised, 4, shard_by_process=False)))
+    assert b["enc_tokens"].shape == (4, 16)
+    assert b["dec_tokens"].shape[0] == 4 and b["targets"].shape[0] == 4
+    for ds in (cap, par, pc, sl, st, noised):
+        assert supports_grain(ds)

@@ -156,3 +156,88 @@ def test_remat_path_matches_no_remat():
 
     g = jax.grad(loss)(params)
     assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_sinusoidal_embeddings():
+    """--sinusoidal_embeddings: fixed sin/cos table, no learned position
+    param (`create_sinusoidal_embeddings`, `transformer.py:37-46`)."""
+    import dataclasses
+
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+    from m3p_tpu.model.embeddings import sinusoidal_table
+
+    cfg = dataclasses.replace(small_test_config().model,
+                              sinusoidal_embeddings=True)
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    assert "position" not in params["text_emb"]
+    table = np.asarray(sinusoidal_table(8, cfg.emb_dim))
+    # row 0: sin(0)=0 on even dims, cos(0)=1 on odd dims
+    np.testing.assert_allclose(table[0, 0::2], 0.0, atol=1e-7)
+    np.testing.assert_allclose(table[0, 1::2], 1.0, atol=1e-7)
+
+    tokens = jnp.asarray(np.random.RandomState(0).randint(4, 500, (2, 8)),
+                         jnp.int32)
+    mask = jnp.ones((2, 8), bool)
+    out, _ = model.apply({"params": params}, tokens, mask,
+                         method=model.encode_text)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adaptive_softmax():
+    """cfg.asm: word_logits returns NORMALIZED log-probs (logsumexp == 0) so
+    CE == -log p[y]; generation works unchanged
+    (`AdaptiveLogSoftmaxWithLoss`, `transformer.py:93-100`)."""
+    import dataclasses
+
+    import optax
+
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+
+    cfg = dataclasses.replace(small_test_config().model, asm=True,
+                              asm_cutoffs=(64, 256), asm_div_value=4.0)
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    assert "pred_layer_asm" in params
+    assert "head" in params["pred_layer_asm"]
+    assert "tail_0_proj" in params["pred_layer_asm"]
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, cfg.emb_dim),
+                    jnp.float32)
+    lp = model.apply({"params": params}, x, method=model.word_logits)
+    assert lp.shape == (2, 3, cfg.n_words)
+    lse = np.asarray(jax.nn.logsumexp(lp.astype(jnp.float32), axis=-1))
+    np.testing.assert_allclose(lse, 0.0, atol=1e-4)
+    # CE on normalized log-probs == -log p[target]
+    y = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        lp.astype(jnp.float32), y)
+    direct = -jnp.take_along_axis(lp.astype(jnp.float32), y[..., None],
+                                  axis=-1)[..., 0]
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(direct), atol=1e-4)
+
+
+def test_image_fusion_path():
+    """encode_text with image_enc engages the CrossAlign fusion (the
+    reference ``image_fusion`` flag, `transformer.py:838-839,1068-1069`)."""
+    import dataclasses
+
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+
+    cfg = dataclasses.replace(small_test_config().model, image_fusion=True)
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    assert "cross_align" in params
+
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(4, 500, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), bool)
+    img_enc = jnp.asarray(rng.randn(2, 4, cfg.emb_dim), jnp.float32)
+    img_mask = jnp.ones((2, 4), bool)
+    fused, _ = model.apply({"params": params}, tokens, mask,
+                           image_enc=img_enc, image_mask=img_mask,
+                           method=model.encode_text)
+    plain, _ = model.apply({"params": params}, tokens, mask,
+                           method=model.encode_text)
+    assert np.isfinite(np.asarray(fused)).all()
+    assert float(jnp.max(jnp.abs(fused - plain))) > 1e-4

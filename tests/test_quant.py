@@ -68,3 +68,47 @@ def test_int8_qbwd_matmul():
     rel_dw = float(jnp.linalg.norm(dw - x.T @ g) / jnp.linalg.norm(x.T @ g))
     assert rel_dx < 0.03, rel_dx
     assert rel_dw < 0.03, rel_dw
+
+
+def test_int8_matmul_nt_parity():
+    """Transposed-weight int8 GEMM (vocab head): fwd/bwd close to fp32."""
+    from m3p_tpu.ops.quant import int8_matmul_nt
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(64, 32), jnp.float32)
+
+    out = int8_matmul_nt(x, w)
+    ref = x @ w.T
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+    def loss_q(x, w):
+        return jnp.sum(int8_matmul_nt(x, w) ** 2)
+
+    def loss_f(x, w):
+        return jnp.sum((x @ w.T) ** 2)
+
+    gx_q, gw_q = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    gx_f, gw_f = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    for a, b in ((gx_q, gx_f), (gw_q, gw_f)):
+        rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+        assert rel < 0.12, rel
+
+
+def test_pred_layer_int8_head():
+    """PredLayer quant='int8_bwd' matches the dense head within int8 noise."""
+    from m3p_tpu.model.heads import PredLayer
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 3, 32), jnp.float32)
+    emb = jnp.asarray(rng.randn(128, 32), jnp.float32)
+    dense = PredLayer(n_words=128, dim=32)
+    qhead = PredLayer(n_words=128, dim=32, quant="int8_bwd")
+    params = dense.init(jax.random.PRNGKey(0), x, emb)
+    out_d = dense.apply(params, x, emb)
+    out_q = qhead.apply(params, x, emb)
+    rel = float(jnp.max(jnp.abs(out_q - out_d))
+                / jnp.max(jnp.abs(out_d)))
+    assert out_q.shape == (4, 3, 128)
+    assert rel < 0.05, rel

@@ -89,3 +89,42 @@ def test_sp_train_step_parity(eight_devices):
         assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) <= tol
 
     jax.tree.map(check, g_ref, g_sp)
+
+
+def test_long_context_sp_training(eight_devices):
+    """End-to-end long-sequence training config: joint stream far beyond the
+    reference's 514-position cap, sharded over a 4-way seq axis, full train
+    step (loss+grad) — the SURVEY §5.7 long-context axis exercised."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from m3p_tpu.config import long_context_config
+    from m3p_tpu.data import synthetic
+    from m3p_tpu.parallel.sp import make_sp_itm_train_step
+    from m3p_tpu.model import build_model
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    cfg = long_context_config()
+    # CPU-sized model, genuine long sequence: 8 regions + 1016 tokens = 1024
+    mcfg = dataclasses.replace(
+        cfg.model, n_words=512, mask_index=511, emb_dim=32, n_layers=2,
+        n_heads=2, max_region_num=8, refine_layers=1, dropout=0.0,
+        attention_dropout=0.0, dtype="float32", max_positions=1100,
+        use_pallas_attention=False, remat=False, seq_axis=None)
+    model, params = build_model(mcfg, jax.random.PRNGKey(0))
+    mesh = Mesh(np.array(eight_devices[:4]), ("seq",))
+
+    rng = np.random.RandomState(0)
+    b = synthetic.make_pretrain_batch(rng, 2, 2, 1016, 8, mcfg.n_words)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    step = make_sp_itm_train_step(model, mesh, sample_n=2)
+    state = create_train_state(
+        params, build_optimizer("adam,lr=0.001")[0])
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1

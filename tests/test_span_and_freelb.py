@@ -95,3 +95,80 @@ def test_freelb_itm_step(setup):
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_freelb_pretrain_step(setup):
+    """PGD around the full MCT multitask loss (`freelb_pretrain_under_step`,
+    `xtrainer.py:2404-2594`)."""
+    from m3p_tpu.data.masking import MaskingConfig
+    from m3p_tpu.train.freelb import make_freelb_pretrain_step
+
+    cfg, model, params = setup
+    tx, _ = build_optimizer("adam,lr=0.001")
+    state = create_train_state(jax.tree.map(jnp.array, params), tx)
+    rng = np.random.RandomState(5)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_pretrain_batch(
+        rng, 2, cfg.data.sample_n, cfg.data.max_len, cfg.data.max_region_num,
+        cfg.model.n_words).items()}
+    mask_cfg = MaskingConfig(max_pred=4, n_words=cfg.model.n_words,
+                             mask_index=cfg.model.mask_index)
+    step = make_freelb_pretrain_step(model, cfg.data.sample_n, mask_cfg,
+                                     FreeLBConfig(adv_steps=2), donate=False)
+    losses = []
+    # fixed PRNG -> fixed masking; otherwise per-step mask resampling noise
+    # swamps 4 optimizer steps
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                              lambda_rel=1.0, lambda_mlm=1.0)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+
+def test_freelb_ic_step(setup):
+    """PGD around the captioning CE (`free_lb_ic_step`,
+    `xtrainer.py:2853-2962`)."""
+    from m3p_tpu.train.freelb import make_freelb_ic_step
+
+    cfg, model, params = setup
+    tx, _ = build_optimizer("adam,lr=0.001")
+    state = create_train_state(jax.tree.map(jnp.array, params), tx)
+    rng = np.random.RandomState(6)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_caption_batch(
+        rng, 4, cfg.data.max_len, cfg.data.max_region_num,
+        cfg.model.n_words).items()}
+    step = make_freelb_ic_step(model, FreeLBConfig(adv_steps=2),
+                               donate=False)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+
+def test_trainer_freelb_runs_plain_plus_adversarial(setup):
+    """is_freelb runs the plain step AND the adversarial one per batch
+    (`train_x.py:454-456`, `xtrainer.py:1870-1876`)."""
+    from m3p_tpu.train.trainer import Trainer
+    from m3p_tpu.data.datasets import RetrievalDataset
+
+    cfg, model, params = setup
+    cfg2 = cfg.replace(is_freelb=True, adv_steps=2, cross_rel_steps="x-img")
+
+    class FakeDS:
+        def __len__(self):
+            return 8
+
+        def epoch_iterator(self, bs, epoch=0):
+            rng = np.random.RandomState(epoch)
+            for _ in range(4):
+                yield {k: v for k, v in synthetic.make_retrieval_batch(
+                    rng, bs, cfg.data.sample_n, cfg.data.max_len,
+                    cfg.data.max_region_num, cfg.model.n_words).items()}
+
+    trainer = Trainer(cfg2, model, jax.tree.map(jnp.array, params),
+                      {("rel", "x"): FakeDS()})
+    trainer.step_once("rel", ("rel", "x"))
+    step0 = int(trainer.state.step)
+    assert step0 == 2  # one plain + one adversarial optimizer update
