@@ -23,16 +23,20 @@ import jax.numpy as jnp
 import optax
 
 
-def parse_optim_spec(spec: str) -> Tuple[str, Dict[str, float]]:
-    """``"adam_inverse_sqrt,beta1=0.9,lr=0.0001"`` -> (name, kwargs)."""
+def parse_optim_spec(spec: str) -> Tuple[str, Dict[str, Any]]:
+    """``"adam_inverse_sqrt,beta1=0.9,lr=0.0001"`` -> (name, kwargs).
+    Non-numeric values (e.g. ``mu_dtype=bfloat16``) pass through as strings."""
     parts = spec.split(",")
     name = parts[0]
-    kwargs: Dict[str, float] = {}
+    kwargs: Dict[str, Any] = {}
     for p in parts[1:]:
         if not p:
             continue
         k, v = p.split("=")
-        kwargs[k] = float(v)
+        try:
+            kwargs[k] = float(v)
+        except ValueError:
+            kwargs[k] = v
     return name, kwargs
 
 
@@ -124,6 +128,10 @@ def build_optimizer(
     eps = kw.pop("eps", 1e-8)
     lr = kw.pop("lr", 1e-3)
     wd = kw.pop("weight_decay", weight_decay)
+    # first-moment dtype: "bfloat16" halves the HBM traffic of the largest
+    # optimizer buffers (mu is smooth; nu stays fp32 — optax exposes only mu)
+    mu_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "float32": None, None: None}[kw.pop("mu_dtype", None)]
 
     if name == "adam_inverse_sqrt":
         schedule = inverse_sqrt_schedule(
@@ -133,8 +141,9 @@ def build_optimizer(
             exp_factor=kw.pop("exp_factor", 0.5),
         )
         core = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps,
-                           weight_decay=wd) if wd else \
-            optax.adam(schedule, b1=beta1, b2=beta2, eps=eps)
+                           weight_decay=wd, mu_dtype=mu_dtype) if wd else \
+            optax.adam(schedule, b1=beta1, b2=beta2, eps=eps,
+                       mu_dtype=mu_dtype)
     elif name == "adam_cosine":
         schedule = cosine_schedule(
             lr,
@@ -145,12 +154,13 @@ def build_optimizer(
             period_mult=kw.pop("period_mult", 1.0),
             lr_shrink=kw.pop("lr_shrink", 0.75),
         )
-        core = optax.adam(schedule, b1=beta1, b2=beta2, eps=eps)
+        core = optax.adam(schedule, b1=beta1, b2=beta2, eps=eps,
+                          mu_dtype=mu_dtype)
     elif name == "adam":
         schedule = lambda step: jnp.asarray(lr)  # noqa: E731
         core = optax.adamw(lr, b1=beta1, b2=beta2, eps=eps,
-                           weight_decay=wd) if wd else \
-            optax.adam(lr, b1=beta1, b2=beta2, eps=eps)
+                           weight_decay=wd, mu_dtype=mu_dtype) if wd else \
+            optax.adam(lr, b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype)
     elif name == "sgd":
         schedule = lambda step: jnp.asarray(lr)  # noqa: E731
         core = optax.sgd(lr, momentum=kw.pop("momentum", 0.0))

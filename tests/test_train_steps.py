@@ -163,6 +163,23 @@ def test_optim_schedules():
     assert float(c(600)) < float(c(100))
 
 
+def test_mu_dtype_spec():
+    """``mu_dtype=bfloat16`` stores the first Adam moment in bf16 (halves the
+    HBM traffic of the largest optimizer buffer) without changing the API."""
+    import jax
+    import jax.numpy as jnp
+    from m3p_tpu.train.optim import build_optimizer
+
+    tx, _ = build_optimizer("adam,lr=0.001,mu_dtype=bfloat16")
+    params = {"w": jnp.ones(4, jnp.float32)}
+    state = tx.init(params)
+    mu_leaves = [leaf for leaf in jax.tree.leaves(state)
+                 if getattr(leaf, "dtype", None) == jnp.bfloat16]
+    assert mu_leaves, "no bf16 moment found in optimizer state"
+    upd, state = tx.update({"w": jnp.full(4, 0.5)}, state, params)
+    assert upd["w"].dtype == jnp.float32  # updates stay fp32
+
+
 def test_skip_nonfinite_guard():
     import jax.numpy as jnp
     from m3p_tpu.train.optim import build_optimizer
