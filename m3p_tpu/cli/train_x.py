@@ -361,7 +361,8 @@ def main(argv=None) -> None:
                 "batch_size %d not divisible by data*fsdp=%d — running "
                 "unsharded; adjust --batch_size or --mesh_*",
                 cfg.data.batch_size, dp)
-    trainer = Trainer(cfg, model, params, data.train_datasets, mesh=mesh)
+    trainer = Trainer(cfg, model, params, data.train_datasets, mesh=mesh,
+                      tokenizer=data.tokenizer)
     trainer.install_preemption_handler()
     # auto-resume from dump_path/checkpoint when present (reference
     # `reload_checkpoint`, `xtrainer.py:566-571`); --reload_checkpoint

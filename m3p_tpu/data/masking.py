@@ -37,16 +37,32 @@ class MaskingConfig:
 
 
 def _select_fixed(rng: jax.Array, eligible: jax.Array, rate: float,
-                  max_pred: int) -> Tuple[jax.Array, jax.Array]:
+                  max_pred: int,
+                  pos_prob: Optional[jax.Array] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Bernoulli(rate) over eligible (B, S) positions, capped at ``max_pred``
     per row and packed into fixed slots.
+
+    ``pos_prob`` (B, S) skews selection: position i is drawn with probability
+    ``rate * pos_prob[i] * n_eligible / sum(pos_prob over eligible)`` — the
+    frequency-weighted masking of the reference's ``sample_alpha`` path
+    (`xtrainer.py:393-402`, scores `fp16_trainer.py:96-98`), expressed as
+    independent Bernoulli draws with matched expected count instead of
+    without-replacement multinomial (an XLA-friendly, documented deviation).
 
     Returns (positions (B, P) int32, weights (B, P) float32)."""
     b, s = eligible.shape
     max_pred = min(max_pred, s)  # short sequences: never ask top_k for > s
     r_sel, r_prio = jax.random.split(rng)
+    if pos_prob is None:
+        p = rate
+    else:
+        w = jnp.where(eligible, pos_prob.astype(jnp.float32), 0.0)
+        n_elig = jnp.sum(eligible)
+        p = jnp.clip(rate * w * n_elig / jnp.maximum(jnp.sum(w), 1e-9),
+                     0.0, 1.0)
     selected = jnp.logical_and(
-        jax.random.uniform(r_sel, (b, s)) < rate, eligible)
+        jax.random.uniform(r_sel, (b, s)) < p, eligible)
     # rank selected positions first via a random priority, take top max_pred
     prio = jax.random.uniform(r_prio, (b, s))
     score = jnp.where(selected, 1.0 + prio, prio * 1e-3)
@@ -60,19 +76,24 @@ def mask_tokens(
     tokens: jax.Array,        # (B, S) int32
     valid_mask: jax.Array,    # (B, S) bool — paddings/specials excluded below
     cfg: MaskingConfig,
+    mask_scores: Optional[jax.Array] = None,   # (n_words,) sample_alpha skew
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """80/10/10 MLM masking with fixed prediction slots.
 
     Returns (masked_tokens (B,S), positions (B,P), labels (B,P),
-    weights (B,P)).  Position 0 (BOS) is never masked (`xtrainer.py:406`)."""
+    weights (B,P)).  Position 0 (BOS) is never masked (`xtrainer.py:406`).
+    ``mask_scores`` (``counts**-sample_alpha``) skews selection toward rare
+    words (`fp16_trainer.py:96-98`)."""
     b, s = tokens.shape
     r_sel, r_act, r_rand = jax.random.split(rng, 3)
 
     eligible = jnp.logical_and(valid_mask, tokens != cfg.pad_index)
     eligible = eligible.at[:, 0].set(False)
 
+    pos_prob = None if mask_scores is None else jnp.take(
+        mask_scores, jnp.clip(tokens, 0, mask_scores.shape[0] - 1))
     positions, weights = _select_fixed(r_sel, eligible, cfg.word_pred,
-                                       cfg.max_pred)
+                                       cfg.max_pred, pos_prob)
     # never an all-empty mask: if the bernoulli draw selected nothing in the
     # whole batch, force one prediction slot (the reference's
     # ``pred_mask[0,0]=1`` fallback, `xtrainer.py:421-423`) — with a fixed

@@ -118,14 +118,15 @@ def clm_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
 
 
 def mlm_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
-             mask_cfg: MaskingConfig, deterministic: bool = False
-             ) -> Tuple[jax.Array, Metrics]:
+             mask_cfg: MaskingConfig, deterministic: bool = False,
+             mask_scores=None) -> Tuple[jax.Array, Metrics]:
     """xMLM on a text stream (`mlm_step`, `xtrainer.py:734-770`)."""
     r_mask, r_drop = jax.random.split(rng)
     tokens = batch["tokens"]
     text_mask = lengths_to_mask(batch["lengths"], tokens.shape[1])
     masked, pos, labels, weights = mask_tokens(r_mask, tokens, text_mask,
-                                               mask_cfg)
+                                               mask_cfg,
+                                               mask_scores=mask_scores)
     hidden, _ = model.apply(
         {"params": params}, masked, text_mask, batch.get("langs"),
         method=model.encode_text, rngs={"dropout": r_drop},
@@ -145,6 +146,7 @@ def mct_pretrain_loss(
     refine_image: bool = True, deterministic: bool = False,
     text_delta: Optional[jax.Array] = None,
     img_delta: Optional[jax.Array] = None,
+    mask_scores=None,
 ) -> Tuple[jax.Array, Metrics]:
     """The multitask pre-training step (`pretrain_under_step`).
 
@@ -165,7 +167,8 @@ def mct_pretrain_loss(
     coin = jax.random.bernoulli(r_coin, 0.5, (bn,)).astype(jnp.float32)
 
     masked_tokens, pos_t, lab_t, w_t = mask_tokens(r_text, tokens, text_mask,
-                                                   mask_cfg)
+                                                   mask_cfg,
+                                                   mask_scores=mask_scores)
     w_t = w_t * coin[:, None]
     masked_tokens = jnp.where(coin[:, None] > 0, masked_tokens, tokens)
 

@@ -51,6 +51,7 @@ class Trainer:
         mesh=None,
         state_shardings=None,
         batch_sharding=None,
+        tokenizer=None,
     ):
         self.cfg = cfg
         self.model = model
@@ -88,6 +89,15 @@ class Trainer:
             n_words=cfg.model.n_words,
             mask_index=cfg.model.mask_index,
             pad_index=cfg.model.pad_index)
+        # sample_alpha > 0: skew MLM selection toward rare words —
+        # ``counts**-alpha`` with specials zeroed (`fp16_trainer.py:96-98`).
+        # Piece frequencies come from the unigram model's log-probs
+        # (counts ∝ exp(score)); runs without a tokenizer fall back to None.
+        self.mask_scores = None
+        if cfg.data.sample_alpha > 0 and tokenizer is not None:
+            self.mask_scores = _mask_scores_from_tokenizer(
+                tokenizer, cfg.model.n_words, cfg.data.sample_alpha,
+                cfg.model.pad_index)
 
         self.schedules = parse_lambda_config({
             "mlm": cfg.lambda_mlm, "rel": cfg.lambda_rel,
@@ -125,7 +135,8 @@ class Trainer:
         model, cfg = self.model, self.cfg
         if kind == "mlm":
             def loss_fn(p, b, key, **lam):
-                loss, m = S.mlm_loss(model, p, b, key, self.mask_cfg)
+                loss, m = S.mlm_loss(model, p, b, key, self.mask_cfg,
+                                     mask_scores=self.mask_scores)
                 return lam.get("lambda_mlm", 1.0) * loss, m
         elif kind == "clm":
             def loss_fn(p, b, key, **lam):
@@ -144,7 +155,8 @@ class Trainer:
                         lambda_mlm=lam.get("lambda_mlm", 1.0),
                         lambda_mrm=lam.get("lambda_mrm", 1.0),
                         lambda_mrfr=lam.get("lambda_mrfr", 1.0),
-                        lambda_clcm=lam.get("lambda_clcm", 1.0))
+                        lambda_clcm=lam.get("lambda_clcm", 1.0),
+                        mask_scores=self.mask_scores)
         elif kind == "ic":
             def loss_fn(p, b, key, **lam):
                 loss, m = S.caption_loss(model, p, b, key)
@@ -534,3 +546,30 @@ class Trainer:
         # epoch-shard datasets re-open next epoch
         self._iterators.clear()
         self._grain_iterators.clear()
+
+
+def _mask_scores_from_tokenizer(tokenizer, n_words: int, alpha: float,
+                                pad_index: int):
+    """``counts ** -alpha`` per token id for sample_alpha masking
+    (`fp16_trainer.py:96-98`), with pad/special ids zeroed.  Counts are
+    reconstructed from the unigram piece log-probabilities (counts ∝
+    exp(score)); ids beyond the piece table (e.g. <mask>) get score 0."""
+    import numpy as np
+
+    scores = np.zeros((n_words,), np.float32)
+    model = getattr(tokenizer, "_py_model", None) or \
+        getattr(tokenizer, "model", None)
+    piece_scores = getattr(model, "scores", None)
+    if piece_scores is None:
+        return None
+    logp = np.asarray(piece_scores, np.float32)
+    counts = np.exp(logp - logp.max())
+    # fairseq offset: piece i -> id i + 1 (`tokenization.py:29-41`)
+    ids = np.arange(len(counts)) + 1
+    ok = ids < n_words
+    scores[ids[ok]] = np.maximum(counts[ok], 1e-12) ** -alpha
+    scores[:4] = 0.0          # <s>/<pad>/</s>/<unk>
+    scores[pad_index] = 0.0
+    import jax.numpy as jnp
+
+    return jnp.asarray(scores)

@@ -128,3 +128,28 @@ def test_mask_tokens_never_empty_selection():
                                          jnp.ones((1, 4), bool), cfg)
         assert float(weights.sum()) >= 1.0
         assert int(pos[0, 0]) == 1
+
+
+def test_mask_tokens_sample_alpha_skew():
+    """mask_scores skews selection toward high-score tokens
+    (`xtrainer.py:393-402` sample_alpha path) while keeping the overall
+    expected rate."""
+    rng = np.random.RandomState(3)
+    B, S = 64, 32
+    # half the positions hold token 7, half hold token 9
+    tokens = jnp.array(np.where(rng.rand(B, S) < 0.5, 7, 9), jnp.int32)
+    valid = jnp.ones((B, S), bool)
+    scores = np.zeros((512,), np.float32)
+    scores[7] = 10.0    # rare word: 10x selection weight
+    scores[9] = 1.0
+    _, pos, labels, weights = mask_tokens(
+        jax.random.PRNGKey(0), tokens, valid, CFG,
+        mask_scores=jnp.asarray(scores))
+    w = np.asarray(weights) > 0
+    lab = np.asarray(labels)
+    n7 = int(((lab == 7) & w).sum())
+    n9 = int(((lab == 9) & w).sum())
+    assert n7 > 3 * n9, (n7, n9)
+    # expected total stays near word_pred * eligible
+    rate = (n7 + n9) / (B * (S - 1))
+    assert 0.06 < rate < 0.25, rate
