@@ -111,6 +111,96 @@ def skip_nonfinite() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+class FusedAdam:
+    """Single-pass Adam(+warmup schedule, +global-norm clip) update.
+
+    The optax chain (clip -> scale_by_adam -> schedule) materializes an
+    intermediate updates tree between stages and applies params in a separate
+    ``apply_updates`` pass; on the v5e the optimizer chain measures ~16% of
+    the MCT step, nearly all HBM traffic over the 280M-param state.  This
+    transformation computes the clipped, bias-corrected update AND the new
+    params/moments in ONE elementwise pass per leaf (read grad+mu+nu+param,
+    write mu+nu+param), with optional bf16 moment storage halving the
+    largest optimizer buffers.  Semantics match
+    ``clip_by_global_norm(clip) -> adam(schedule, b1, b2, eps)`` exactly
+    (up to moment storage precision).
+
+    Engaged via ``fused=1`` in the optimizer spec; `TrainState.
+    apply_gradients` dispatches to :meth:`fused_apply`.
+    """
+
+    def __init__(self, schedule: Callable, beta1: float = 0.9,
+                 beta2: float = 0.999, eps: float = 1e-8,
+                 clip_norm: float = 0.0, mu_dtype=None, nu_dtype=None,
+                 master: bool = False):
+        self.schedule = schedule
+        self.beta1 = beta1
+        self.beta2 = beta2
+        self.eps = eps
+        self.clip_norm = clip_norm
+        self.mu_dtype = mu_dtype
+        self.nu_dtype = nu_dtype
+        self.master = master
+        # create_train_state casts the live params to this dtype (master=1:
+        # GEMMs read bf16 weights straight from HBM — no per-step fp32->bf16
+        # cast pass — while updates apply to the fp32 master kept here)
+        self.param_store_dtype = jnp.bfloat16 if master else None
+
+    def init(self, params):
+        def zeros_like(p, dt):
+            return jnp.zeros(p.shape, dt or p.dtype)
+
+        state = {
+            "mu": jax.tree.map(lambda p: zeros_like(p, self.mu_dtype), params),
+            "nu": jax.tree.map(lambda p: zeros_like(p, self.nu_dtype), params),
+        }
+        if self.master:
+            state["master"] = jax.tree.map(
+                lambda p: jnp.asarray(p, jnp.float32), params)
+        return state
+
+    def fused_apply(self, params, opt_state, grads, step):
+        """(params, {mu, nu}, grads, step) -> (new_params, new_opt_state).
+
+        ``step`` is the number of PREVIOUS updates (TrainState.step); the
+        schedule reads the pre-increment count and bias correction uses
+        t = step + 1 — exactly optax's scale_by_schedule / scale_by_adam."""
+        t = (step + 1).astype(jnp.float32)
+        lr = self.schedule(step.astype(jnp.float32))
+        scale = jnp.float32(1.0)
+        if self.clip_norm and self.clip_norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.where(gnorm > self.clip_norm,
+                              self.clip_norm / gnorm, 1.0)
+        bc1 = 1.0 - self.beta1 ** t
+        bc2 = 1.0 - self.beta2 ** t
+        masters = opt_state.get("master") if self.master else None
+
+        def leaf(p32, m, v, g):
+            g32 = g.astype(jnp.float32) * scale
+            m32 = m.astype(jnp.float32) * self.beta1 + (1 - self.beta1) * g32
+            v32 = v.astype(jnp.float32) * self.beta2 + \
+                (1 - self.beta2) * g32 * g32
+            upd = lr * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + self.eps)
+            return ((p32 - upd.astype(p32.dtype)),
+                    m32.astype(m.dtype), v32.astype(v.dtype))
+
+        out = jax.tree.map(leaf, masters if self.master else params,
+                           opt_state["mu"], opt_state["nu"], grads)
+        _istup = lambda o: isinstance(o, tuple)  # noqa: E731
+        new_p32 = jax.tree.map(lambda o: o[0], out, is_leaf=_istup)
+        new_mu = jax.tree.map(lambda o: o[1], out, is_leaf=_istup)
+        new_nu = jax.tree.map(lambda o: o[2], out, is_leaf=_istup)
+        new_opt = {"mu": new_mu, "nu": new_nu}
+        if self.master:
+            new_opt["master"] = new_p32
+            new_params = jax.tree.map(
+                lambda p32, p: p32.astype(p.dtype), new_p32, params)
+        else:
+            new_params = new_p32
+        return new_params, new_opt
+
+
 def build_optimizer(
     spec: str,
     clip_grad_norm: float = 0.0,
@@ -130,8 +220,34 @@ def build_optimizer(
     wd = kw.pop("weight_decay", weight_decay)
     # first-moment dtype: "bfloat16" halves the HBM traffic of the largest
     # optimizer buffers (mu is smooth; nu stays fp32 — optax exposes only mu)
-    mu_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-                "float32": None, None: None}[kw.pop("mu_dtype", None)]
+    _dt = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+           "float32": None, None: None}
+    mu_dtype = _dt[kw.pop("mu_dtype", None)]
+    nu_dtype = _dt[kw.pop("nu_dtype", None)]
+    fused = bool(kw.pop("fused", 0))
+
+    if fused:
+        if name == "adam_inverse_sqrt":
+            schedule = inverse_sqrt_schedule(
+                lr,
+                warmup_updates=int(kw.pop("warmup_updates", 4000)),
+                warmup_init_lr=kw.pop("warmup_init_lr", 1e-7),
+                exp_factor=kw.pop("exp_factor", 0.5))
+        elif name == "adam_cosine":
+            schedule = cosine_schedule(
+                lr,
+                warmup_updates=int(kw.pop("warmup_updates", 4000)),
+                warmup_init_lr=kw.pop("warmup_init_lr", 1e-7))
+        elif name == "adam":
+            schedule = lambda step: jnp.asarray(lr)  # noqa: E731
+        else:
+            raise ValueError(f"fused=1 supports adam variants, not {name!r}")
+        assert accumulate_gradients <= 1 and not wd and not guard_nonfinite, \
+            "fused=1 composes with plain adam only (no accum/wd/guard)"
+        tx = FusedAdam(schedule, beta1=beta1, beta2=beta2, eps=eps,
+                       clip_norm=clip_grad_norm, mu_dtype=mu_dtype,
+                       nu_dtype=nu_dtype, master=bool(kw.pop("master", 0)))
+        return tx, schedule
 
     if name == "adam_inverse_sqrt":
         schedule = inverse_sqrt_schedule(

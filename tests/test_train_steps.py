@@ -205,3 +205,69 @@ def test_clm_step(setup):
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["clm"]))
     assert 0.0 <= float(metrics["acc"]) <= 1.0
+
+
+def test_fused_adam_matches_optax_chain():
+    """FusedAdam (fused=1) reproduces clip_by_global_norm->adam(schedule)
+    exactly with fp32 moments."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    spec = "adam_inverse_sqrt,beta1=0.9,beta2=0.98,lr=0.01,warmup_updates=4"
+    rng = np.random.RandomState(0)
+    params = {"a": jnp.asarray(rng.randn(16, 8), jnp.float32),
+              "b": {"w": jnp.asarray(rng.randn(32), jnp.float32)}}
+    s_ref = create_train_state(params, build_optimizer(
+        spec, clip_grad_norm=0.5)[0])
+    s_fused = create_train_state(params, build_optimizer(
+        spec + ",fused=1", clip_grad_norm=0.5)[0])
+
+    for i in range(6):
+        g = {"a": jnp.asarray(rng.randn(16, 8) * (i + 1), jnp.float32),
+             "b": {"w": jnp.asarray(rng.randn(32) * 3, jnp.float32)}}
+        s_ref = s_ref.apply_gradients(grads=g)
+        s_fused = s_fused.apply_gradients(grads=g)
+    for k in ("a",):
+        np.testing.assert_allclose(np.asarray(s_ref.params[k]),
+                                   np.asarray(s_fused.params[k]),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s_ref.params["b"]["w"]),
+                               np.asarray(s_fused.params["b"]["w"]),
+                               rtol=2e-5, atol=2e-6)
+
+    # bf16 moments stay close (storage precision only)
+    s_bf = create_train_state(params, build_optimizer(
+        spec + ",fused=1,mu_dtype=bfloat16,nu_dtype=bfloat16",
+        clip_grad_norm=0.5)[0])
+    rng2 = np.random.RandomState(0)
+    _ = rng2.randn(16, 8)  # realign
+    assert s_bf.opt_state["mu"]["a"].dtype == jnp.bfloat16
+    assert s_bf.opt_state["nu"]["b"]["w"].dtype == jnp.bfloat16
+
+
+def test_fused_adam_master_params():
+    """master=1: live params stored bf16, fp32 master in opt_state; updates
+    track the fp32 path within bf16 storage tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    spec = "adam,lr=0.01,fused=1"
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(64, 16), jnp.float32)}
+    s_ref = create_train_state(params, build_optimizer(spec)[0])
+    s_m = create_train_state(params, build_optimizer(spec + ",master=1")[0])
+    assert s_m.params["w"].dtype == jnp.bfloat16
+    assert s_m.opt_state["master"]["w"].dtype == jnp.float32
+    for i in range(10):
+        g = {"w": jnp.asarray(rng.randn(64, 16), jnp.float32)}
+        s_ref = s_ref.apply_gradients(grads=g)
+        s_m = s_m.apply_gradients(grads={"w": g["w"].astype(jnp.bfloat16)})
+    np.testing.assert_allclose(
+        np.asarray(s_ref.params["w"]),
+        np.asarray(s_m.opt_state["master"]["w"]), rtol=0.05, atol=0.02)
