@@ -10,13 +10,19 @@ One sample == one (caption, image) candidate pair == one 164-token joint
 sequence through the encoder (the reference's ``processed_s`` unit,
 `xtrainer.py:2400`).
 
-Precision mode: bf16 activations/fp32 params with int8-quantized FFN GEMMs
+Precision mode: bf16 activations with int8-quantized FFN GEMMs
 (`ffn_quant="int8_bwd"` — dynamic symmetric scales, int32 accumulation,
-quantized dgrad/wgrad; the v5e int8 MXU runs at 2x the bf16 rate).  This is a
-documented framework mode analogous to the reference's apex AMP levels;
-convergence was checked against pure bf16 over 300 flagship steps (loss
-curves statistically indistinguishable: 20.65 vs 20.61 final — see STATUS.md).
-Pure-bf16 throughput is 552 samples/s (vs_baseline 3.68) at BN=128.
+quantized dgrad/wgrad; the v5e int8 MXU runs at 2x the bf16 rate), bf16
+live params with an fp32 master + bf16 Adam moments in the fused
+single-pass optimizer (`fused=1,master=1,mu/nu_dtype=bfloat16` — see
+`m3p_tpu.train.optim.FusedAdam`), and cross-batch packing of the active
+MLM prediction slots before the 250k-vocab head (`pack_ratio=0.25`, see
+`mct_pretrain_loss`).  These are documented framework modes analogous to
+the reference's apex AMP levels; convergence for each numerics mode is
+checked against the fp32-optimizer path over 300 flagship steps (loss
+curves statistically indistinguishable — see STATUS.md).
+Pure-bf16 throughput is 552 samples/s (vs_baseline 3.68) at BN=128;
+bf16+int8 FFN with the unfused optax fp32 chain is 687 at BN=64.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 denominator is an analytic estimate of the PyTorch+Apex V100 baseline:
@@ -37,7 +43,7 @@ import numpy as np
 
 BASELINE_EST = 150.0  # estimated reference samples/s/GPU (see module docstring)
 
-GROUPS = 16          # candidate groups per batch (BN=64: int8 sweet spot)
+GROUPS = 20          # candidate groups per batch (BN=80: v5e sweet spot)
 SAMPLE_N = 4         # candidates per group -> BN = 64 joint sequences
 MAX_LEN = 64
 MAX_REGIONS = 100
@@ -71,7 +77,8 @@ def main() -> None:
     )
     model, params = build_model(cfg, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(
-        "adam_inverse_sqrt,beta1=0.9,beta2=0.98,lr=0.00005",
+        "adam_inverse_sqrt,beta1=0.9,beta2=0.98,lr=0.00005,"
+        "fused=1,mu_dtype=bfloat16,nu_dtype=bfloat16,master=1",
         clip_grad_norm=5.0)
     state = create_train_state(params, tx)
 
@@ -87,7 +94,8 @@ def main() -> None:
         return S.mct_pretrain_loss(
             model, params, b, key, mask_cfg, SAMPLE_N,
             lambda_rel=1.0, lambda_mlm=1.0, lambda_mrm=1.0, lambda_mrfr=1.0,
-            lambda_clcm=1.0, refine_image=True, deterministic=False)
+            lambda_clcm=1.0, refine_image=True, deterministic=False,
+            pack_ratio=0.25)
 
     step = S.make_train_step(loss_fn, donate=True)
 

@@ -64,6 +64,8 @@ def get_parser() -> argparse.ArgumentParser:
 
     # masking / noise
     p.add_argument("--word_pred", type=float, default=0.15)
+    p.add_argument("--mlm_pack_ratio", type=float, default=0.5,
+                   help="MCT vocab-head slot-pack budget (see DataConfig)")
     p.add_argument("--sample_alpha", type=float, default=0)
     p.add_argument("--word_mask_keep_rand", type=str, default="0.8,0.1,0.1")
     p.add_argument("--word_shuffle", type=float, default=0)
@@ -237,7 +239,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         cross_lingual_path=args.cross_lingual_path,
         mct_sent_ratio=args.sent_ratio, mct_word_ratio=args.word_ratio,
         seed=args.seed, num_workers=args.num_workers, bptt=args.bptt,
-        use_grain=args.use_grain,
+        use_grain=args.use_grain, mlm_pack_ratio=args.mlm_pack_ratio,
     )
     optim = OptimConfig(spec=args.optimizer,
                         clip_grad_norm=args.clip_grad_norm,

@@ -190,6 +190,10 @@ class DataConfig:
     # static-shape MLM: max masked positions per sequence (TPU-native; the
     # reference gathers a dynamic number, `xtrainer.py:385-434`)
     max_pred_per_seq: int = 24
+    # MCT pretrain: fraction of BN*max_pred slots packed into the vocab-head
+    # block (see `mct_pretrain_loss`); 0.25 is safe for real <=20-token
+    # captions, 0.5 for worst-case synthetic 64-token ones
+    mlm_pack_ratio: float = 0.5
     bptt: int = 128                   # stream dataset block length
 
 

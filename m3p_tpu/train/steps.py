@@ -147,6 +147,7 @@ def mct_pretrain_loss(
     text_delta: Optional[jax.Array] = None,
     img_delta: Optional[jax.Array] = None,
     mask_scores=None,
+    pack_ratio: float = 0.5,
 ) -> Tuple[jax.Array, Metrics]:
     """The multitask pre-training step (`pretrain_under_step`).
 
@@ -203,15 +204,20 @@ def mct_pretrain_loss(
     # MC-MLM — pack the active slots across the batch before the 250k-vocab
     # projection: the 50/50 word/object coin leaves ~half the rows with zero
     # text-prediction weight, so the largest GEMM of the step runs on a
-    # packed (BN*P/2, D) block instead of all BN*P slots.  top_k on the 0/1
-    # weights moves every active slot into the packed block (zero-weight
-    # slots contribute 0 to both the weighted-CE numerator and the weight
-    # sum), so the loss is bit-identical unless >BN*P/2 slots are active —
-    # impossible under the coin split except for astronomically unlikely
-    # draws, where the lowest-index surplus slots would drop.
+    # packed (BN*P*pack_ratio, D) block instead of all BN*P slots.  top_k on
+    # the 0/1 weights moves every active slot into the packed block
+    # (zero-weight slots contribute 0 to both the weighted-CE numerator and
+    # the weight sum), so the loss is bit-identical unless more slots are
+    # active than the budget; on overflow the surplus slots drop and the
+    # weight-normalized CE becomes an unbiased subsample of the same mean.
+    # Expected text load = BN/2 * word_pred * len slots: the default 0.5
+    # budget sits ~12 sigma above it; 0.25 is ~3.5 sigma for 64-token
+    # synthetic captions (overflow p ~ 2e-4/step) and ~12 sigma for real
+    # <=20-token captions — less lossy in practice than the per-row
+    # max_pred cap the fixed-slot layout already imposes.
     g_t = jnp.take_along_axis(text_out, pos_t[..., None], axis=1)
     p_t = pos_t.shape[1]
-    k_pack = max((bn * p_t) // 2, 1)
+    k_pack = max(int(bn * p_t * pack_ratio), 1)
     pack_w, pack_idx = jax.lax.top_k(w_t.reshape(-1), k_pack)
     g_pack = jnp.take(g_t.reshape(bn * p_t, -1), pack_idx, axis=0)
     lab_pack = jnp.take(lab_t.reshape(-1), pack_idx)
@@ -219,8 +225,10 @@ def mct_pretrain_loss(
         model.apply({"params": params}, g_pack, method=model.word_logits),
         lab_pack, pack_w)
 
-    # MC-MRM / MRFR — same cross-batch packing as MC-MLM above (the coin
-    # zeroes region weights on the word-masked half of the rows)
+    # MC-MRM / MRFR — same cross-batch packing, fixed 0.5 budget: region
+    # masking selects ~15 of 100 regions so nearly every coin-off row fills
+    # its slots (expected load ~0.47 of BN*P — unlike text, pack_ratio<0.5
+    # would subsample real slots here)
     g_r = jnp.take_along_axis(img_out, pos_r[..., None], axis=1)
     p_r = pos_r.shape[1]
     k_r = max((bn * p_r) // 2, 1)

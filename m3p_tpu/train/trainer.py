@@ -156,7 +156,8 @@ class Trainer:
                         lambda_mrm=lam.get("lambda_mrm", 1.0),
                         lambda_mrfr=lam.get("lambda_mrfr", 1.0),
                         lambda_clcm=lam.get("lambda_clcm", 1.0),
-                        mask_scores=self.mask_scores)
+                        mask_scores=self.mask_scores,
+                        pack_ratio=cfg.data.mlm_pack_ratio)
         elif kind == "ic":
             def loss_fn(p, b, key, **lam):
                 loss, m = S.caption_loss(model, p, b, key)
