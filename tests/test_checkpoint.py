@@ -302,3 +302,34 @@ def test_grain_mid_epoch_resume(tmp_path):
     # and it did not rewind to the start of the epoch
     assert not np.array_equal(np.asarray(a3[0]["tokens"]),
                               np.asarray(b4[0]["tokens"]))
+
+
+def test_fused_adam_state_checkpoint_roundtrip(tmp_path):
+    """FusedAdam's dict opt_state ({mu, nu, master}) survives an Orbax
+    save/restore round-trip and training continues bit-identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from m3p_tpu import checkpoint as ckpt
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    spec = ("adam,lr=0.01,fused=1,mu_dtype=bfloat16,nu_dtype=bfloat16,"
+            "master=1")
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(8, 4), jnp.float32)}
+    state = create_train_state(params, build_optimizer(spec)[0])
+    g = {"w": jnp.asarray(rng.randn(8, 4), jnp.bfloat16)}
+    state = state.apply_gradients(grads=g)
+
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, state)
+    template = create_train_state(params, build_optimizer(spec)[0])
+    restored, _ = ckpt.restore_checkpoint(path, template)
+    assert restored.opt_state["master"]["w"].dtype == jnp.float32
+    assert restored.params["w"].dtype == jnp.bfloat16
+
+    s1 = state.apply_gradients(grads=g)
+    s2 = restored.apply_gradients(grads=g)
+    np.testing.assert_array_equal(np.asarray(s1.params["w"], np.float32),
+                                  np.asarray(s2.params["w"], np.float32))

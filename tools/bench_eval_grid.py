@@ -1,0 +1,58 @@
+"""Retrieval eval-grid throughput: pairs/s for the chunked joint-forward
+scorer (`eval/retrieval.py::retrieval_grid_scores`).
+
+Measures the flagship model on a synthetic caption/image pool shaped like
+Multi30K test (n_img x n_cap grid, 100-region images, 64-token captions).
+
+Usage: python tools/bench_eval_grid.py [n_img n_cap chunk_size] [--int8]
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from m3p_tpu.config import ModelConfig
+    from m3p_tpu.model import build_model
+    from m3p_tpu.eval.retrieval import retrieval_grid_scores
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_img = int(args[0]) if args else 100
+    n_cap = int(args[1]) if len(args) > 1 else 500
+    chunk = int(args[2]) if len(args) > 2 else 512
+    int8 = "--int8" in sys.argv
+
+    cfg = ModelConfig(
+        n_words=250002, mask_index=250001, n_layers=12, emb_dim=768,
+        n_heads=12, dropout=0.1, attention_dropout=0.0, max_region_num=100,
+        dtype="bfloat16", ffn_quant="int8_bwd" if int8 else "none")
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    cap_tokens = rng.randint(4, 250000, (n_cap, 64)).astype(np.int32)
+    cap_len = rng.randint(8, 64, (n_cap,)).astype(np.int32)
+    img_feats = rng.randn(n_img, 100, 2048).astype(np.float32)
+    img_locs = rng.rand(n_img, 100, 5).astype(np.float32)
+    img_len = np.full((n_img,), 100, np.int32)
+
+    # warmup (compile)
+    retrieval_grid_scores(model, params, cap_tokens[:chunk // 4],
+                          cap_len[:chunk // 4], img_feats[:4], img_locs[:4],
+                          img_len[:4], chunk_size=chunk)
+    t0 = time.perf_counter()
+    scores = retrieval_grid_scores(model, params, cap_tokens, cap_len,
+                                   img_feats, img_locs, img_len,
+                                   chunk_size=chunk)
+    dt = time.perf_counter() - t0
+    pairs = n_img * n_cap
+    print({"pairs": pairs, "chunk": chunk, "int8": int8,
+           "secs": round(dt, 1), "pairs_per_s": round(pairs / dt, 1)})
+    assert np.isfinite(scores).all()
+
+
+if __name__ == "__main__":
+    main()
