@@ -92,3 +92,30 @@ def test_cider_identity_ranking():
     assert good > bad
     assert good > 1.0
     assert bad == pytest.approx(0.0, abs=1e-6)
+
+
+def test_retrieval_grid_process_sharding_merges():
+    """Two simulated processes each score an interleaved chunk subset; the
+    summed partial matrices equal the single-process grid (the psum-merge
+    contract of `merge_process_scores`, `xevaluator.py:1616-1619`)."""
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    n_img, n_cap, S, R = 4, 6, 10, 8
+    cap_tokens = rng.randint(4, 500, (n_cap, S)).astype(np.int32)
+    cap_len = np.full(n_cap, S, np.int32)
+    feats = rng.randn(n_img, R, 2048).astype(np.float32)
+    locs = rng.rand(n_img, R, 5).astype(np.float32)
+    img_len = np.full(n_img, R, np.int32)
+
+    full = retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
+                                 locs, img_len, chunk_size=4)
+    parts = [
+        retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
+                              locs, img_len, chunk_size=4,
+                              process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(parts[0] + parts[1], full, atol=1e-5)
+    # each process actually scored a strict subset
+    assert (parts[0] == 0).any() and (parts[1] == 0).any()
