@@ -301,6 +301,15 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
             continue
         stores = [RegionFeatureStore(p, cfg.data.max_region_num)
                   for p in h5s]
+
+        def split_store(split: str, _h5s=h5s, _stores=stores):
+            """Feature store for a split: `<split>*.h5` if present, else the
+            first shard (single-shard layouts serve every split) — an
+            alphabetical glob must never hand `test.h5` to the train loop."""
+            for p, s in zip(_h5s, _stores):
+                if os.path.basename(p).startswith(split):
+                    return s
+            return _stores[0]
         if cfg.is_pretrain:
             import jax
 
@@ -329,7 +338,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 if captions is None:
                     continue
                 ds = RetrievalDataset(
-                    captions, stores[0], tokenizer, lang=lang,
+                    captions, split_store("train"), tokenizer, lang=lang,
                     sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
                     clager=clager, seed=cfg.seed)
                 out.train_datasets[_key("rel", name, lang, multi)] = ds
@@ -337,8 +346,9 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     os.path.join(root, f"valid.{lang}.pkl"), warn=False)
                 if valid_caps:
                     vds = RetrievalDataset(
-                        valid_caps, stores[0], tokenizer, lang=lang,
-                        sample_n=cfg.data.sample_n, max_len=cfg.data.max_len)
+                        valid_caps, split_store("valid"), tokenizer,
+                        lang=lang, sample_n=cfg.data.sample_n,
+                        max_len=cfg.data.max_len)
                     pairs = list(vds.epoch_iterator(
                         cfg.data.batch_size))[:EVAL_BATCHES]
                     eval_put("retrieval_valid_batches", lang,
@@ -348,7 +358,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 if test_caps:
                     eval_put("retrieval_test", lang,
                              build_eval_retrieval_arrays(
-                                 test_caps, stores[0], tokenizer,
+                                 test_caps, split_store("test"), tokenizer,
                                  max_len=cfg.data.max_len))
 
     # ---- captioning / TIFG / IDA(bart_img) -----------------------------
@@ -362,7 +372,10 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         if not h5s:
             logger.warning("no feature shards under %s", root)
             continue
-        store = RegionFeatureStore(h5s[0], cfg.data.max_region_num)
+        # prefer the train split's shard (see split_store above)
+        train_h5 = next((p for p in h5s
+                         if os.path.basename(p).startswith("train")), h5s[0])
+        store = RegionFeatureStore(train_h5, cfg.data.max_region_num)
         for lang in langs:
             captions = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
             if captions is None:
@@ -443,11 +456,15 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         if not h5s:
             logger.warning("slide data missing under %s", root)
             continue
-        store = RegionFeatureStore(h5s[0], cfg.data.max_region_num)
+        shared = RegionFeatureStore(h5s[0], cfg.data.max_region_num)
         for split in ("train", "test"):
             items_path = os.path.join(root, f"{split}.tsv")
             if not os.path.exists(items_path):
                 continue
+            split_h5 = next((p for p in h5s
+                             if os.path.basename(p).startswith(split)), None)
+            store = RegionFeatureStore(
+                split_h5, cfg.data.max_region_num) if split_h5 else shared
             items = []
             with open(items_path, encoding="utf-8") as f:
                 for line in f:

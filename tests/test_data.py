@@ -235,3 +235,53 @@ def test_grain_all_families(tokenizer, store, captions):
     assert b["dec_tokens"].shape[0] == 4 and b["targets"].shape[0] == 4
     for ds in (cap, par, pc, sl, st, noised):
         assert supports_grain(ds)
+
+
+def test_loader_split_store_selection(tmp_path, tokenizer):
+    """train.h5 + test.h5 side by side: the train loop must read train.h5
+    and the test eval test.h5 — an alphabetical glob handed test.h5 to the
+    train RetrievalDataset (KeyError on train ids; caught by the round-2
+    soak run)."""
+    import pickle
+
+    from m3p_tpu.cli.train_x import args_to_config, get_parser
+    from m3p_tpu.data.loader import load_data
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "coco"
+    root.mkdir()
+    n, r = 6, 4
+
+    def shard(path, prefix):
+        ids = [f"{prefix}{k}" for k in range(n)]
+        write_feature_shard(
+            str(path),
+            features=rng.randn(n, r, 2048).astype(np.float32),
+            boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+            num_boxes=np.full(n, r, np.int64),
+            wh=np.full((n, 2), 100, np.float32),
+            image_ids=ids,
+            objects=rng.randint(0, 1600, (n, r)),
+        )
+        return ids
+
+    tr = shard(root / "train.h5", "c")
+    te = shard(root / "test.h5", "t")
+    with open(root / "train.en.pkl", "wb") as f:
+        pickle.dump({i: ["red cat", "blue dog"] for i in tr}, f)
+    with open(root / "test.en.pkl", "wb") as f:
+        pickle.dump({i: ["small tree", "dog runs"] for i in te}, f)
+    vocab = str(tmp_path / "v.tsv")
+    train_unigram(["red cat dog blue small tree runs"] * 20,
+                  vocab_size=60).save(vocab)
+
+    cfg = args_to_config(get_parser().parse_args(
+        ["--data_path", str(tmp_path), "--vocab_path", vocab, "--lgs", "en",
+         "--cross_rel_steps", "coco-img", "--max_region_num", str(r),
+         "--sample_n", "2"]))
+    data = load_data(cfg)
+    ds = data.train_datasets[("rel", "coco")]
+    t2i, i2t = next(ds.epoch_iterator(2))   # resolves train ids in train.h5
+    assert t2i["tokens"].shape[0] == 4
+    # the eval arrays came from test.h5 (t* ids)
+    assert "retrieval_test" in data.eval_data
