@@ -3,6 +3,8 @@ import json
 import time
 
 import numpy as np
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 GROUPS, SAMPLE_N, MAX_LEN, MAX_REGIONS = 16, 4, 64, 100
 WARMUP, STEPS = 2, 10

@@ -6,10 +6,13 @@ Multi30K test (n_img x n_cap grid, 100-region images, 64-token captions).
 
 Usage: python tools/bench_eval_grid.py [n_img n_cap chunk_size] [--int8]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
