@@ -30,6 +30,17 @@ def bool_flag(s: str) -> bool:
 
 
 def get_parser() -> argparse.ArgumentParser:
+    """Reference-parity flag surface (`train_x.py:29-391`).
+
+    Accepted-but-inert flags (drop-in compatibility): GPU/launcher plumbing
+    that has no TPU analog (--amp, --local_rank, --master_port,
+    --debug_slurm, --split_data — JAX is single-controller; bf16 needs no
+    loss scaling), reference dead code (--is_latent, --use_memory,
+    --use_enc_att: the latent/GAN/memory paths are commented out or crash
+    upstream), and legacy knobs subsumed by this framework's config
+    (--encoder_only: one unified model class; --use_new_fea /--eval_path /
+    --google_valid_path: per-dataset path overrides cover these).
+    """
     p = argparse.ArgumentParser(description="m3p_tpu — TPU-native M3P")
 
     # experiment
@@ -229,7 +240,9 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         n_langs=max(len([l for l in args.lgs.split("-") if l]), 1) + 1,
     )
     data = DataConfig(
-        data_path=args.data_path, vocab_path=args.vocab_path, lgs=args.lgs,
+        data_path=args.data_path, input_fea_dir=args.input_fea_dir,
+        seq_per_img=args.seq_per_img,
+        vocab_path=args.vocab_path, lgs=args.lgs,
         max_len=args.max_len, max_region_num=args.max_region_num,
         batch_size=args.batch_size, sample_n=args.sample_n,
         word_pred=args.word_pred, sample_alpha=args.sample_alpha,
@@ -295,6 +308,9 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         qp_type=args.qp_type, seed=args.seed,
         adv_lr=args.adv_lr, adv_steps=args.adv_steps,
         adv_max_norm=args.adv_max_norm, norm_type=args.norm_type,
+        free_text=args.free_text, free_img=args.free_img,
+        refine_image=args.refine_image,
+        t2i_flag=args.t2i_flag, i2t_flag=args.i2t_flag,
     )
 
 

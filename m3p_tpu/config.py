@@ -164,6 +164,9 @@ class MeshConfig:
 @dataclass
 class DataConfig:
     data_path: str = ""
+    # features root override (reference --input_fea_dir); data_path otherwise
+    input_fea_dir: str = ""
+    seq_per_img: int = 5    # captions per image (eval grids; MILD uses 1)
     vocab_path: str = ""
     lgs: str = "en"
     max_len: int = 64                 # caption truncation (`README.md:183`)
@@ -292,6 +295,15 @@ class TrainConfig:
     adv_steps: int = 3
     norm_type: str = "l2"
     adv_max_norm: float = 0.0
+    free_text: bool = True           # PGD delta on token embeddings
+    free_img: bool = True            # PGD delta on raw region features
+    # AoA image refiner on/off per run (`params.refine_image`, every
+    # reference step passes it into jointfwd/crossfwd)
+    refine_image: bool = True
+    # train only one retrieval direction (`--t2i_flag/--i2t_flag`,
+    # `xtrainer.py:1871-1877`)
+    t2i_flag: bool = True
+    i2t_flag: bool = True
 
     seed: int = 12345
 

@@ -164,10 +164,13 @@ def _build_clager(cfg: TrainConfig, paths_root: str) -> Optional[Clager]:
 def _dataset_root(cfg: TrainConfig, name: str,
                   overrides: Optional[Dict[str, str]] = None) -> str:
     """Per-dataset root: explicit path flags (--coco_path etc.,
-    `train_x.py`) win over data_path/<name>."""
+    `train_x.py`) win over <features root>/<name>, where the features root
+    is ``--input_fea_dir`` when given (the reference's feature-dir knob,
+    `MILD_finetune.py:75`, `dataset_finetune.py`) else ``--data_path``."""
     if overrides and overrides.get(name):
         return overrides[name]
-    return os.path.join(cfg.data.data_path, name)
+    base = getattr(cfg.data, "input_fea_dir", "") or cfg.data.data_path
+    return os.path.join(base, name)
 
 
 def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
@@ -359,7 +362,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     eval_put("retrieval_test", lang,
                              build_eval_retrieval_arrays(
                                  test_caps, split_store("test"), tokenizer,
-                                 max_len=cfg.data.max_len))
+                                 max_len=cfg.data.max_len,
+                                 caps_per_image=cfg.data.seq_per_img))
 
     # ---- captioning / TIFG / IDA(bart_img) -----------------------------
     cap_like = ([("ic", n) for n, _ in parse_steps(cfg.cross_ic_steps)]

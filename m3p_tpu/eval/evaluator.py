@@ -115,7 +115,8 @@ class Evaluator:
                                 prefix: str = "") -> Dict[str, float]:
         scores = retrieval_grid_scores(
             self.model, params, cap_tokens, cap_len, img_feats, img_locs,
-            img_len, chunk_size=chunk_size)
+            img_len, chunk_size=chunk_size,
+            refine_image=getattr(self.cfg, "refine_image", True))
         r = recall_at_k(scores, cap_to_img)
         return {f"{prefix}{k}": v for k, v in r.items()}
 

@@ -145,8 +145,9 @@ class Trainer:
         elif kind in ("rel", "pretrain_rel"):
             if kind == "rel":
                 def loss_fn(p, b, key, **lam):
-                    return S.itm_finetune_loss(model, p, b, key,
-                                               cfg.data.sample_n)
+                    return S.itm_finetune_loss(
+                        model, p, b, key, cfg.data.sample_n,
+                        refine_image=cfg.refine_image)
             else:
                 def loss_fn(p, b, key, **lam):
                     return S.mct_pretrain_loss(
@@ -157,10 +158,12 @@ class Trainer:
                         lambda_mrfr=lam.get("lambda_mrfr", 1.0),
                         lambda_clcm=lam.get("lambda_clcm", 1.0),
                         mask_scores=self.mask_scores,
-                        pack_ratio=cfg.data.mlm_pack_ratio)
+                        pack_ratio=cfg.data.mlm_pack_ratio,
+                        refine_image=cfg.refine_image)
         elif kind == "ic":
             def loss_fn(p, b, key, **lam):
-                loss, m = S.caption_loss(model, p, b, key)
+                loss, m = S.caption_loss(model, p, b, key,
+                                         refine_image=cfg.refine_image)
                 return lam.get("lambda_ic", 1.0) * loss, m
         elif kind in ("mt", "ntg"):
             def loss_fn(p, b, key, **lam):
@@ -216,7 +219,9 @@ class Trainer:
 
             fl = FreeLBConfig(adv_steps=cfg.adv_steps, adv_lr=cfg.adv_lr,
                               adv_max_norm=cfg.adv_max_norm,
-                              norm_type=cfg.norm_type)
+                              norm_type=cfg.norm_type,
+                              free_text=cfg.free_text,
+                              free_img=cfg.free_img)
             if kind == "rel":
                 adv0 = make_freelb_itm_step(
                     model, cfg.data.sample_n, fl,
@@ -325,7 +330,12 @@ class Trainer:
             return next((v for k, v in metrics.items() if k != "acc"), 0.0)
 
         if isinstance(batch, tuple):  # (t2i, i2t) paired batches
-            for b in batch:
+            # --t2i_flag/--i2t_flag train a single direction
+            # (`rel_step`, `xtrainer.py:1871-1877`)
+            gates = (self.cfg.t2i_flag, self.cfg.i2t_flag)
+            for b, on in zip(batch, gates):
+                if not on:
+                    continue
                 self.state, metrics = step(self.state, b, key, **lam_kwargs)
                 self.stats.add(f"{kind}-{task[1]}", stat_value(metrics))
         else:
