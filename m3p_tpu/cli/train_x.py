@@ -39,7 +39,9 @@ def get_parser() -> argparse.ArgumentParser:
     --use_enc_att: the latent/GAN/memory paths are commented out or crash
     upstream), and legacy knobs subsumed by this framework's config
     (--encoder_only: one unified model class; --use_new_fea /--eval_path /
-    --google_valid_path: per-dataset path overrides cover these).
+    --google_valid_path: per-dataset path overrides cover these;
+    --eval_bleu: BLEU is computed in-process by `eval/bleu.py` whenever
+    generation eval data exists — there is no perl subprocess to gate).
     """
     p = argparse.ArgumentParser(description="m3p_tpu — TPU-native M3P")
 
@@ -311,6 +313,9 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         free_text=args.free_text, free_img=args.free_img,
         refine_image=args.refine_image,
         t2i_flag=args.t2i_flag, i2t_flag=args.i2t_flag,
+        multi_cls_loss_weight=args.multi_cls_loss_weight,
+        bin_cls_loss_weight=args.bin_cls_loss_weight,
+        mt_only_text=args.mt_only_text,
     )
 
 

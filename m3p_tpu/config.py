@@ -304,6 +304,11 @@ class TrainConfig:
     # `xtrainer.py:1871-1877`)
     t2i_flag: bool = True
     i2t_flag: bool = True
+    # ITM grid loss = multi*CE + bin*BCE (`xtrainer.py:1938`)
+    multi_cls_loss_weight: float = 1.0
+    bin_cls_loss_weight: float = 1.0
+    # multimodal-MT without the image stream (`xtrainer.py:1561`)
+    mt_only_text: bool = False
 
     seed: int = 12345
 

@@ -148,6 +148,8 @@ def mct_pretrain_loss(
     img_delta: Optional[jax.Array] = None,
     mask_scores=None,
     pack_ratio: float = 0.5,
+    multi_cls_weight: float = 1.0,
+    bin_cls_weight: float = 1.0,
 ) -> Tuple[jax.Array, Metrics]:
     """The multitask pre-training step (`pretrain_under_step`).
 
@@ -252,7 +254,7 @@ def mct_pretrain_loss(
     # ITM over the candidate grid
     scores = model.apply({"params": params}, hidden, method=model.itm_score)
     ce, bce = itm_grid_losses(scores, batch["pos_label"], sample_n)
-    rel = ce + bce
+    rel = multi_cls_weight * ce + bin_cls_weight * bce
 
     total = (lambda_rel * rel + lambda_mlm * mlm + lambda_mrm * mrm
              + lambda_mrfr * mrfr)

@@ -147,7 +147,9 @@ class Trainer:
                 def loss_fn(p, b, key, **lam):
                     return S.itm_finetune_loss(
                         model, p, b, key, cfg.data.sample_n,
-                        refine_image=cfg.refine_image)
+                        refine_image=cfg.refine_image,
+                        multi_cls_weight=cfg.multi_cls_loss_weight,
+                        bin_cls_weight=cfg.bin_cls_loss_weight)
             else:
                 def loss_fn(p, b, key, **lam):
                     return S.mct_pretrain_loss(
@@ -159,7 +161,9 @@ class Trainer:
                         lambda_clcm=lam.get("lambda_clcm", 1.0),
                         mask_scores=self.mask_scores,
                         pack_ratio=cfg.data.mlm_pack_ratio,
-                        refine_image=cfg.refine_image)
+                        refine_image=cfg.refine_image,
+                        multi_cls_weight=cfg.multi_cls_loss_weight,
+                        bin_cls_weight=cfg.bin_cls_loss_weight)
         elif kind == "ic":
             def loss_fn(p, b, key, **lam):
                 loss, m = S.caption_loss(model, p, b, key,
@@ -170,9 +174,16 @@ class Trainer:
                 loss, m = S.mt_loss(model, p, b, key)
                 return lam.get("lambda_mt", 1.0) * loss, m
         elif kind == "mt_ic":
-            def loss_fn(p, b, key, **lam):
-                loss, m = S.mt_caption_loss(model, p, b, key)
-                return lam.get("lambda_mt", 1.0) * loss, m
+            if cfg.mt_only_text:
+                # `--mt_only_text`: multimodal-MT trained without the image
+                # stream (`mt_ic_step`, `xtrainer.py:1561`)
+                def loss_fn(p, b, key, **lam):
+                    loss, m = S.mt_loss(model, p, b, key)
+                    return lam.get("lambda_mt", 1.0) * loss, m
+            else:
+                def loss_fn(p, b, key, **lam):
+                    loss, m = S.mt_caption_loss(model, p, b, key)
+                    return lam.get("lambda_mt", 1.0) * loss, m
         elif kind == "slide":
             def loss_fn(p, b, key, **lam):
                 return S.slide_loss(model, p, b, key)

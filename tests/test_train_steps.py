@@ -137,6 +137,47 @@ def test_slide_step(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_itm_cls_loss_weights(setup):
+    """--multi_cls_loss_weight / --bin_cls_loss_weight scale the CE and BCE
+    terms of the ITM grid loss (`xtrainer.py:1938`)."""
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(7)
+    batch = _np_batch(synthetic.make_retrieval_batch(
+        rng, 2, cfg.data.sample_n, cfg.data.max_len,
+        cfg.data.max_region_num, cfg.model.n_words))
+    key = jax.random.PRNGKey(0)
+
+    def run(mw, bw):
+        loss, m = S.itm_finetune_loss(
+            model, state.params, batch, key, cfg.data.sample_n,
+            deterministic=True, multi_cls_weight=mw, bin_cls_weight=bw)
+        return float(loss), float(m["ce"]), float(m["bce"])
+
+    loss_ce, ce, bce = run(1.0, 0.0)
+    assert loss_ce == pytest.approx(ce)
+    loss_bce, _, _ = run(0.0, 1.0)
+    assert loss_bce == pytest.approx(bce)
+    loss_w, _, _ = run(2.0, 0.5)
+    assert loss_w == pytest.approx(2.0 * ce + 0.5 * bce, rel=1e-5)
+
+
+def test_mt_only_text_routes_mt_ic(setup):
+    """--mt_only_text trains multimodal-MT without the image stream
+    (`mt_ic_step`, `xtrainer.py:1561`): the routed mt_ic step must run on a
+    text-only batch (no feats/locs)."""
+    cfg, model, state, _ = setup
+    from m3p_tpu.train.trainer import Trainer
+
+    t = Trainer(cfg.replace(mt_only_text=True), model, state.params,
+                datasets=None)
+    step = t._get_step("mt_ic")
+    rng = np.random.RandomState(8)
+    batch = _np_batch(synthetic.make_mt_batch(rng, 2, cfg.data.max_len,
+                                              cfg.model.n_words))
+    _, metrics = step(t.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["ce"]))
+
+
 def test_lambda_zero_kills_objective(setup):
     """With all lambdas zero the total pretrain loss must be exactly 0."""
     cfg, model, state, mask_cfg = setup
