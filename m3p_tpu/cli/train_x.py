@@ -215,6 +215,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_tensor", type=int, default=1)
     p.add_argument("--mesh_seq", type=int, default=1)
+    p.add_argument("--mesh_expert", type=int, default=1)
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="expert-choice MoE FFN every --moe_interval blocks")
+    p.add_argument("--moe_interval", type=int, default=2)
+    p.add_argument("--moe_capacity_factor", type=float, default=2.0)
     p.add_argument("--remat", type=bool_flag, default=False)
     p.add_argument("--use_pallas_attention", type=bool_flag, default=True)
     p.add_argument("--seed", type=int, default=12345)
@@ -239,6 +244,8 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         dtype="bfloat16" if args.fp16 else "float32",
         use_pallas_attention=args.use_pallas_attention,
         remat=args.remat,
+        moe_experts=args.moe_experts, moe_interval=args.moe_interval,
+        moe_capacity_factor=args.moe_capacity_factor,
         n_langs=max(len([l for l in args.lgs.split("-") if l]), 1) + 1,
     )
     data = DataConfig(
@@ -260,7 +267,8 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
                         clip_grad_norm=args.clip_grad_norm,
                         accumulate_gradients=args.accumulate_gradients)
     mesh = MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                      tensor=args.mesh_tensor, seq=args.mesh_seq)
+                      tensor=args.mesh_tensor, seq=args.mesh_seq,
+                      expert=args.mesh_expert)
     ev = EvalConfig(eval_only=args.eval_only, beam_size=args.beam_size,
                     length_penalty=args.length_penalty,
                     early_stopping=args.early_stopping,

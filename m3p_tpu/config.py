@@ -122,6 +122,14 @@ class ModelConfig:
     # sharded over; self-attention runs ring attention inside shard_map
     # (see m3p_tpu.parallel.sp)
     seq_axis: Optional[str] = None
+    # Mixture-of-experts scale-up FFN (no reference equivalent — the
+    # reference is a dense 12L encoder, `transformer.py:610-729`).
+    # moe_experts > 0 replaces the FFN of every moe_interval-th block with
+    # an expert-choice-routed MoE (`model/layers.py::MoEFFN`); expert
+    # parallelism is the "expert" mesh axis (parallel/sharding.py).
+    moe_experts: int = 0
+    moe_interval: int = 2            # every k-th block is MoE (1 = all)
+    moe_capacity_factor: float = 2.0
 
     @property
     def ffn_dim(self) -> int:
@@ -151,6 +159,7 @@ class MeshConfig:
       fsdp  — parameter sharding over the data axis (ZeRO-3 style)
       tensor— Megatron-style sharding of QKV / FFN matrices
       seq   — sequence/context parallelism (ring attention)
+      expert— expert parallelism (MoE expert weights/compute)
     Pipeline parallelism is expressed separately via stage slicing.
     """
 
@@ -158,7 +167,8 @@ class MeshConfig:
     fsdp: int = 1
     tensor: int = 1
     seq: int = 1
-    axis_names: Tuple[str, ...] = ("data", "fsdp", "seq", "tensor")
+    expert: int = 1
+    axis_names: Tuple[str, ...] = ("data", "fsdp", "seq", "tensor", "expert")
 
 
 @dataclass

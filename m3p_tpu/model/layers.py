@@ -263,6 +263,93 @@ class TransformerFFN(nn.Module):
         return h
 
 
+class MoEFFN(nn.Module):
+    """Mixture-of-experts FFN with expert-choice routing.
+
+    TPU-native scale-up FFN with no reference equivalent (the reference is a
+    dense 12L/768d encoder, `transformer.py:610-729`); SURVEY.md §2.3 asks
+    that the layer API not preclude expert parallelism — this makes EP a
+    first-class axis.  Routing is expert-choice (each expert selects its
+    top-C tokens by router affinity), so load balance is structural and no
+    auxiliary balancing loss is needed — the whole layer stays a pure
+    function of (params, x).  Tokens picked by several experts mix their
+    outputs; unselected tokens output zero and ride the residual stream.
+    Static shapes throughout: top_k + gather + batched einsum (MXU-friendly),
+    no data-dependent control flow.
+
+    Expert weights carry the "expert" logical axis, so expert parallelism is
+    a LOGICAL_RULES mapping like every other strategy, and EP composes with
+    TP (the "mlp" axis).  Expert-choice looks at the whole sequence, so MoE
+    blocks cannot run causal decoding (EncoderBlock asserts).
+    """
+
+    dim: int
+    hidden_dim: int
+    n_experts: int
+    capacity_factor: float = 2.0
+    dropout: float = 0.0
+    gelu_activation: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 skip_dropout: bool = False) -> jax.Array:
+        b, s, d = x.shape
+        t = b * s
+        e = self.n_experts
+        cap = min(t, max(1, int(self.capacity_factor * t / e)))
+        xt = x.reshape(t, d)
+
+        router = self.param(
+            "router",
+            nn.with_logical_partitioning(nn.initializers.lecun_normal(),
+                                         ("embed", "expert")),
+            (d, e), jnp.float32)
+        w1 = self.param(
+            "w1",
+            nn.with_logical_partitioning(nn.initializers.lecun_normal(),
+                                         ("expert", "embed", "mlp")),
+            (e, d, self.hidden_dim), self.param_dtype)
+        b1 = self.param(
+            "b1",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                         ("expert", "mlp")),
+            (e, self.hidden_dim), self.param_dtype)
+        w2 = self.param(
+            "w2",
+            nn.with_logical_partitioning(nn.initializers.lecun_normal(),
+                                         ("expert", "mlp", "embed")),
+            (e, self.hidden_dim, d), self.param_dtype)
+        b2 = self.param(
+            "b2",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                         ("expert", "embed")),
+            (e, d), self.param_dtype)
+
+        # router affinity in fp32 (softmax over the expert dim; each expert
+        # then takes its top-C tokens — the expert-choice formulation)
+        affinity = jax.nn.softmax(xt.astype(jnp.float32) @ router, axis=-1)
+        gates, idx = jax.lax.top_k(affinity.T, cap)          # (E, C) each
+
+        xe = jnp.take(xt, idx, axis=0)                       # (E, C, D)
+        h = jnp.einsum("ecd,edh->ech", xe, w1.astype(self.dtype))
+        h = h + b1[:, None, :].astype(self.dtype)
+        h = gelu_erf(h) if self.gelu_activation else jax.nn.relu(h)
+        ye = jnp.einsum("ech,ehd->ecd", h, w2.astype(self.dtype))
+        ye = ye + b2[:, None, :].astype(self.dtype)
+        ye = ye * gates[..., None].astype(self.dtype)
+
+        # combine: scatter-add each expert's weighted outputs back to token
+        # positions (partial sums reduce over the expert axis under GSPMD)
+        y = jnp.zeros((t, d), self.dtype).at[idx.reshape(-1)].add(
+            ye.reshape(-1, d))
+        y = y.reshape(b, s, d)
+        if not skip_dropout:
+            y = nn.Dropout(rate=self.dropout)(y, deterministic=deterministic)
+        return y
+
+
 class EncoderBlock(nn.Module):
     """Post-LN block: x = LN1(x + drop(attn)); [x = LN15(x + drop(enc_attn))];
     x = LN2(x + ffn(x)); x *= pad_mask (`transformer.py:842-864, 1070-1100`)."""
@@ -280,6 +367,8 @@ class EncoderBlock(nn.Module):
     fused_dropout: bool = False  # Pallas hw-PRNG residual dropout on TPU
     seq_axis: Optional[str] = None
     ffn_quant: str = "none"
+    moe_experts: int = 0         # > 0: expert-choice MoE FFN (see MoEFFN)
+    moe_capacity_factor: float = 2.0
 
     def setup(self) -> None:
         attn_quant = "int8_bwd" if self.ffn_quant == "int8_all" else "none"
@@ -292,10 +381,20 @@ class EncoderBlock(nn.Module):
         if self.has_cross_attention:
             self.encoder_attn = MultiHeadAttention(name="encoder_attn", **kw)
             self.ln15 = LayerNorm(dtype=self.dtype, name="ln15")
-        self.ffn = TransformerFFN(
-            dim=self.dim, hidden_dim=self.ffn_dim, dropout=self.dropout,
-            gelu_activation=self.gelu_activation, dtype=self.dtype,
-            param_dtype=self.param_dtype, quant=self.ffn_quant, name="ffn")
+        if self.moe_experts > 0:
+            self.ffn = MoEFFN(
+                dim=self.dim, hidden_dim=self.ffn_dim,
+                n_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity_factor,
+                dropout=self.dropout,
+                gelu_activation=self.gelu_activation, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="moe_ffn")
+        else:
+            self.ffn = TransformerFFN(
+                dim=self.dim, hidden_dim=self.ffn_dim, dropout=self.dropout,
+                gelu_activation=self.gelu_activation, dtype=self.dtype,
+                param_dtype=self.param_dtype, quant=self.ffn_quant,
+                name="ffn")
         self.ln2 = LayerNorm(dtype=self.dtype, name="ln2")
         self.res_dropout = nn.Dropout(rate=self.dropout)
 
@@ -310,6 +409,12 @@ class EncoderBlock(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jax.Array, Optional[Dict[str, Cache]]]:
         drop = self.res_dropout
+        # expert-choice routing selects tokens over the whole sequence, so a
+        # MoE block cannot run causal decoding (see MoEFFN); params are
+        # causal-independent, so the full-surface init may still trace it
+        assert (not (causal and self.moe_experts > 0)
+                or self.is_initializing()), \
+            "MoE (expert-choice) blocks do not support causal decoding"
         new_cache: Dict[str, Cache] = {}
         # Pallas fused dropout+residual (hardware PRNG, mask regenerated in
         # bwd from the seed) — the XLA threefry dropout path costs ~17%/step

@@ -69,6 +69,13 @@ class M3PModel(nn.Module):
         if cfg.remat:
             # static args: causal (3) and deterministic (7); index 0 is self
             block = nn.remat(EncoderBlock, static_argnums=(3, 7))
+        def _moe(i: int) -> int:
+            # every moe_interval-th block carries the expert-choice MoE FFN
+            # (dense blocks in between, Switch/GLaM-style interleaving)
+            if cfg.moe_experts > 0 and (i + 1) % cfg.moe_interval == 0:
+                return cfg.moe_experts
+            return 0
+
         self.blocks = [
             block(
                 n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
@@ -78,6 +85,8 @@ class M3PModel(nn.Module):
                 use_pallas=cfg.use_pallas_attention,
                 fused_dropout=cfg.use_fused_dropout,
                 seq_axis=cfg.seq_axis, ffn_quant=cfg.ffn_quant,
+                moe_experts=_moe(i),
+                moe_capacity_factor=cfg.moe_capacity_factor,
                 name=f"block_{i}")
             for i in range(cfg.n_layers)
         ]

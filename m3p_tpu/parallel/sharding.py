@@ -7,6 +7,8 @@ One mechanism expresses every parallelism strategy (SURVEY.md §2.3):
   * TP   — Megatron sharding: qkv/mlp output columns over "tensor", the
     following projection's input rows over "tensor"; vocab-parallel embedding
   * SP   — sequence axis available as "seq" for ring/blockwise attention
+  * EP   — MoE expert weights ("expert" logical axis) over the "expert"
+    mesh axis (see model/layers.py::MoEFFN)
 
 The model annotates parameters with logical names (vocab/embed/qkv/mlp/heads);
 these rules map them onto the mesh, and GSPMD propagates everything else.
@@ -28,6 +30,7 @@ LOGICAL_RULES = (
     ("qkv", "tensor"),
     ("mlp", "tensor"),
     ("heads", "tensor"),
+    ("expert", "expert"),
 )
 
 
