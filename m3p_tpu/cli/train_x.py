@@ -34,14 +34,21 @@ def get_parser() -> argparse.ArgumentParser:
 
     Accepted-but-inert flags (drop-in compatibility): GPU/launcher plumbing
     that has no TPU analog (--amp, --local_rank, --master_port,
-    --debug_slurm, --split_data — JAX is single-controller; bf16 needs no
-    loss scaling), reference dead code (--is_latent, --use_memory,
-    --use_enc_att: the latent/GAN/memory paths are commented out or crash
-    upstream), and legacy knobs subsumed by this framework's config
-    (--encoder_only: one unified model class; --use_new_fea /--eval_path /
-    --google_valid_path: per-dataset path overrides cover these;
-    --eval_bleu: BLEU is computed in-process by `eval/bleu.py` whenever
-    generation eval data exists — there is no perl subprocess to gate).
+    --debug_slurm — JAX is single-controller; bf16 needs no loss scaling),
+    reference dead code (--is_latent /--kld_alpha /--rec_alpha,
+    --use_memory, --use_enc_att: the latent/GAN/memory paths are commented
+    out or crash upstream; --english_only, --min_len, --retrieval_workers,
+    --refine_encoder, --max_vocab /--min_count: parser-only upstream too —
+    the runtime vocab comes from the SentencePiece model, and the legacy
+    Dictionary.read_vocab here does honor max_vocab/min_count),
+    cosmetics (--retrieval_batch: only sizes a tqdm update upstream,
+    `xevaluator.py:1612`), and legacy knobs subsumed by this framework's
+    config (--encoder_only /--is_cross_modal: one unified model class;
+    --use_new_fea /--eval_path /--google_valid_path: per-dataset path
+    overrides cover these; --eval_bleu: BLEU is computed in-process by
+    `eval/bleu.py` whenever generation eval data exists — there is no perl
+    subprocess to gate; --tokens_per_batch /--max_batch_size: resolved to a
+    static batch size in args_to_config, TPU shapes are fixed).
     """
     p = argparse.ArgumentParser(description="m3p_tpu — TPU-native M3P")
 
@@ -155,15 +162,15 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stopping", type=bool_flag, default=False)
     p.add_argument("--eval_bleu", type=bool_flag, default=False)
     p.add_argument("--eval_only", type=bool_flag, default=False)
-    p.add_argument("--eval_n", type=int, default=1000)
+    p.add_argument("--eval_n", type=int, default=150)
     p.add_argument("--eval_images", type=int, default=-1)
     p.add_argument("--retrieval_batch", type=int, default=26)
     p.add_argument("--retrieval_workers", type=int, default=4)
     p.add_argument("--test_splits", type=int, default=8)
-    p.add_argument("--coco_method", type=str, default="segment")
+    p.add_argument("--coco_method", type=str, default="Bleu,CIDEr")
     p.add_argument("--use_new_fea", type=bool_flag, default=False)
 
-    # debug / launcher compat (accepted; no-ops under the JAX runtime)
+    # debug fixtures (`loader.py:374-375`, `dataset_pretrain.py:213-214`)
     p.add_argument("--debug_train", type=bool_flag, default=False)
     p.add_argument("--debug_pretrain", type=bool_flag, default=False)
     p.add_argument("--debug_slurm", type=bool_flag, default=False)
@@ -186,7 +193,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_memory", type=bool_flag, default=False)
     p.add_argument("--use_enc_att", type=bool_flag, default=False)
     p.add_argument("--use_noise", type=float, default=0.0)
-    p.add_argument("--save_every_epoch", type=int, default=5)
+    p.add_argument("--save_every_epoch", type=int, default=1)
     p.add_argument("--kld_alpha", type=float, default=0.1)
     p.add_argument("--rec_alpha", type=float, default=0.1)
 
@@ -227,6 +234,14 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def args_to_config(args: argparse.Namespace) -> TrainConfig:
+    # --tokens_per_batch/--max_batch_size: static TPU shapes resolve the
+    # reference's per-batch token packing (`dataset_pretrain.py:863-890`)
+    # to a fixed batch size at config time
+    batch_size = args.batch_size
+    if args.tokens_per_batch and args.tokens_per_batch > 0:
+        batch_size = max(1, args.tokens_per_batch // max(args.max_len, 1))
+        if args.max_batch_size and args.max_batch_size > 0:
+            batch_size = min(batch_size, args.max_batch_size)
     model = ModelConfig(
         emb_dim=args.emb_dim, n_layers=args.n_layers,
         n_dec_layers=args.n_dec_layers, n_heads=args.n_heads,
@@ -253,7 +268,10 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         seq_per_img=args.seq_per_img,
         vocab_path=args.vocab_path, lgs=args.lgs,
         max_len=args.max_len, max_region_num=args.max_region_num,
-        batch_size=args.batch_size, sample_n=args.sample_n,
+        batch_size=batch_size, sample_n=args.sample_n,
+        group_by_size=args.group_by_size,
+        tokens_per_batch=args.tokens_per_batch,
+        max_batch_size=args.max_batch_size,
         word_pred=args.word_pred, sample_alpha=args.sample_alpha,
         word_mask_keep_rand=args.word_mask_keep_rand,
         word_shuffle=args.word_shuffle, word_dropout=args.word_dropout,
@@ -272,7 +290,9 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
     ev = EvalConfig(eval_only=args.eval_only, beam_size=args.beam_size,
                     length_penalty=args.length_penalty,
                     early_stopping=args.early_stopping,
-                    test_splits=args.test_splits)
+                    test_splits=args.test_splits,
+                    eval_n=args.eval_n, eval_images=args.eval_images,
+                    coco_method=args.coco_method)
     return TrainConfig(
         exp_name=args.exp_name, exp_id=args.exp_id, dump_path=args.dump_path,
         model=model, optim=optim, mesh=mesh, data=data, eval=ev,
@@ -324,6 +344,9 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         multi_cls_loss_weight=args.multi_cls_loss_weight,
         bin_cls_loss_weight=args.bin_cls_loss_weight,
         mt_only_text=args.mt_only_text,
+        debug_train=args.debug_train, debug_pretrain=args.debug_pretrain,
+        split_data=args.split_data, use_noise=args.use_noise,
+        src_lgs=args.src_lgs, save_every_epoch=args.save_every_epoch,
     )
 
 

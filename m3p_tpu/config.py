@@ -200,6 +200,15 @@ class DataConfig:
     # Grain input pipeline (deterministic, checkpointable, sharded); the
     # thread prefetcher is the fallback for unsupported dataset objects
     use_grain: bool = True
+    # length-grouped batching for parallel/NTG datasets (`--group_by_size`,
+    # reference `dataset_utils.py`/NTG iterator sorting)
+    group_by_size: bool = True
+    # token-count batching (`--tokens_per_batch`/`--max_batch_size`,
+    # `dataset_pretrain.py:863-890`): under static TPU shapes this resolves
+    # to batch_size = clamp(tokens_per_batch // max_len, 1, max_batch_size)
+    # at config time (see args_to_config) instead of per-batch repacking
+    tokens_per_batch: int = -1
+    max_batch_size: int = 0
     # static-shape MLM: max masked positions per sequence (TPU-native; the
     # reference gathers a dynamic number, `xtrainer.py:385-434`)
     max_pred_per_seq: int = 24
@@ -219,6 +228,14 @@ class EvalConfig:
     max_gen_len: int = 40
     test_splits: int = 8              # eval-grid chunking (`xevaluator.py:1576`)
     eval_batch_size: int = 64
+    # validation-set size caps (`--eval_n`, `xevaluator.py:485,1197`;
+    # `--eval_images`, `dataset_finetune.py:961` — -1 = full test grid)
+    eval_n: int = 150
+    eval_images: int = -1
+    # caption metrics to report (`--coco_method`, `xevaluator.py:1010`);
+    # deviation: defaults to both since BLEU/CIDEr are in-process here
+    # (the reference shells out per metric)
+    coco_method: str = "Bleu,CIDEr"
 
 
 @dataclass
@@ -319,6 +336,19 @@ class TrainConfig:
     bin_cls_loss_weight: float = 1.0
     # multimodal-MT without the image stream (`xtrainer.py:1561`)
     mt_only_text: bool = False
+    # debug fixtures: valid data as train (`loader.py:374-375`), pinned
+    # pretrain shard 0 (`dataset_pretrain.py:213-214`)
+    debug_train: bool = False
+    debug_pretrain: bool = False
+    # shard mono streams across data feeders (`loader.py:409-413`)
+    split_data: bool = False
+    # word-noise the BART source (`bart_mlm_step`, `xtrainer.py:1617`)
+    use_noise: float = 0.0
+    # MCT source languages — restricts the bilingual-lexicon load
+    # (`loader.py:666-684`); empty = all pairs found
+    src_lgs: str = ""
+    # pretrain per-epoch model_pretrain_<i> saves (`train_x.py:505-506`)
+    save_every_epoch: int = 1
 
     seed: int = 12345
 

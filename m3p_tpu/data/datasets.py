@@ -435,7 +435,8 @@ class ParallelDataset:
                  src_lang_id: Optional[int] = None,
                  tgt_lang_id: Optional[int] = None,
                  store: Optional[RegionFeatureStore] = None,
-                 image_ids: Optional[Sequence[str]] = None):
+                 image_ids: Optional[Sequence[str]] = None,
+                 group_by_size: bool = True):
         assert len(src_texts) == len(tgt_texts)
         self.src_texts = list(src_texts)
         self.tgt_texts = list(tgt_texts)
@@ -446,6 +447,7 @@ class ParallelDataset:
         self.tgt_lang_id = tgt_lang_id
         self.store = store              # set -> multimodal MT triples
         self.image_ids = list(image_ids) if image_ids is not None else None
+        self.group_by_size = group_by_size  # `--group_by_size`
 
     def __len__(self) -> int:
         return len(self.src_texts)
@@ -453,8 +455,14 @@ class ParallelDataset:
     def epoch_iterator(self, batch_size: int, epoch: int = 0,
                        shuffle: bool = True) -> Iterator[Batch]:
         rng = np.random.RandomState(self.seed + epoch)
-        # length-grouped then shuffled in chunks (NTG convention)
-        order = np.argsort([len(s) for s in self.src_texts], kind="stable")
+        # length-grouped then shuffled in chunks (NTG convention); plain
+        # shuffled order when --group_by_size False
+        if self.group_by_size:
+            order = np.argsort([len(s) for s in self.src_texts],
+                               kind="stable")
+        else:
+            order = (rng.permutation(len(self.src_texts)) if shuffle
+                     else np.arange(len(self.src_texts)))
         n_batches = len(order) // batch_size
         batch_order = (rng.permutation(n_batches) if shuffle
                        else np.arange(n_batches))

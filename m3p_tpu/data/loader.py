@@ -76,12 +76,21 @@ def make_mass_transform(word_mass: float, mask_index: int,
     return transform
 
 
-def make_bart_transform(mask_index: int) -> Callable:
-    """Stream batch -> BART-infilled seq2seq batch (mt_loss layout)."""
+def make_bart_transform(mask_index: int,
+                        noise: Optional[Tuple[float, float, float]] = None
+                        ) -> Callable:
+    """Stream batch -> BART-infilled seq2seq batch (mt_loss layout).
+
+    ``noise=(shuffle_k, dropout_p, blank_p)`` additionally word-noises the
+    infilled source (`--use_noise` in `bart_mlm_step`, `xtrainer.py:1617`)."""
+    from m3p_tpu.data.noise import add_noise
     from m3p_tpu.data.span_masking import bart_infill
 
     def transform(rng, batch, lang_id):
         out = bart_infill(rng, batch["tokens"], batch["lengths"], mask_index)
+        if noise is not None:
+            out["src_tokens"], out["src_len"] = add_noise(
+                rng, out["src_tokens"], out["src_len"], *noise, mask_index)
         if lang_id is not None:
             out["src_langs"] = np.full_like(out["src_tokens"], lang_id)
             out["tgt_langs"] = np.full_like(out["tgt_tokens"], lang_id)
@@ -149,12 +158,23 @@ def _load_tokenizer(cfg: TrainConfig):
 
 
 def _build_clager(cfg: TrainConfig, paths_root: str) -> Optional[Clager]:
-    if not cfg.data.use_mct or not paths_root:
+    if not (cfg.data.use_mct or cfg.src_lgs):
         return None
+    if not paths_root:
+        # reference convention: MCT lexicons live under
+        # ``data_path/dictionary/<l1>-<l2>.txt`` (`loader.py:665-684`)
+        cand = os.path.join(cfg.data.data_path, "dictionary")
+        paths_root = cand if os.path.isdir(cand) else ""
+    if not paths_root:
+        return None
+    # --src_lgs restricts which source languages load (`loader.py:666-667`)
+    src_filter = {l for l in cfg.src_lgs.split("-") if l}
     lexicon: Dict = {}
     for path in glob.glob(os.path.join(paths_root, "*-*.txt")):
         name = os.path.splitext(os.path.basename(path))[0]
         src, tgt = name.split("-")[:2]
+        if src_filter and src not in src_filter:
+            continue
         load_bilingual_dict(path, src, tgt, lexicon)
     if not lexicon:
         return None
@@ -185,6 +205,17 @@ def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
         return None
     with open(path, encoding="utf-8") as f:
         return json.load(f)
+
+
+def _cap_images(caps: Dict[str, List[str]], cfg: TrainConfig
+                ) -> Dict[str, List[str]]:
+    """--eval_images caps the retrieval test grid to the first N images
+    (`dataset_finetune.py:961`); -1 keeps the full grid."""
+    n = cfg.eval.eval_images
+    if not n or n <= 0 or n >= len(caps):
+        return caps
+    keep = sorted(caps.keys())[:n]
+    return {k: caps[k] for k in keep}
 
 
 def _key(task: str, name: str, lang: str, multi: bool) -> Tuple[str, str]:
@@ -221,6 +252,19 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
     multi = len(langs) > 1
     n_words = cfg.model.n_words
     mask_index = cfg.model.mask_index
+    # --debug_train: valid data substitutes for train (`loader.py:374-375`)
+    train_split = "valid" if cfg.debug_train else "train"
+    # --eval_n caps validation set size per family (`xevaluator.py:485,1197`)
+    n_eval = (max(1, -(-cfg.eval.eval_n // cfg.data.batch_size))
+              if cfg.eval.eval_n > 0 else EVAL_BATCHES)
+    # --split_data shards mono streams across data feeders
+    # (`loader.py:409-413`); off = every feeder sees the full stream
+    feed_kw: Dict[str, int] = {}
+    if cfg.split_data:
+        import jax
+
+        feed_kw = dict(n_feeders=jax.process_count(),
+                       feeder_id=jax.process_index())
 
     def eval_put(family: str, lang: str, value) -> None:
         key = f"{family}.{lang}" if multi else family
@@ -232,9 +276,13 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         stream_tasks.append(("mlm", lang, None))
         if cfg.is_generation:
             # `train_x.py:457-460`: is_generation drives bart_mlm +
-            # bart_mass from mlm_steps
+            # bart_mass from mlm_steps; --use_noise word-noises the BART
+            # source (`xtrainer.py:1617`)
+            bart_noise = ((cfg.data.word_shuffle, cfg.data.word_dropout,
+                           cfg.data.word_blank) if cfg.use_noise else None)
             stream_tasks.append(
-                ("bart", lang, make_bart_transform(mask_index)))
+                ("bart", lang, make_bart_transform(mask_index,
+                                                   noise=bart_noise)))
             stream_tasks.append(
                 ("mass", lang,
                  make_mass_transform(cfg.word_mass, mask_index, n_words)))
@@ -255,7 +303,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         if (task, lang) in seen_stream:
             continue
         seen_stream.add((task, lang))
-        path = os.path.join(cfg.data.data_path, f"train.{lang}.npy")
+        path = os.path.join(cfg.data.data_path, f"{train_split}.{lang}.npy")
         if not os.path.exists(path):
             logger.warning("mono stream missing: %s", path)
             continue
@@ -263,16 +311,16 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         lang_id = cfg.lang2id.get(lang)
         if transform is None:
             out.train_datasets[(task, lang)] = StreamDataset(
-                stream, bptt=cfg.data.bptt, seed=cfg.seed)
+                stream, bptt=cfg.data.bptt, seed=cfg.seed, **feed_kw)
         else:
             out.train_datasets[(task, lang)] = NoisedStreamDataset(
                 stream, transform, lang_id=lang_id, bptt=cfg.data.bptt,
-                seed=cfg.seed)
+                seed=cfg.seed, **feed_kw)
         valid_path = os.path.join(cfg.data.data_path, f"valid.{lang}.npy")
         if os.path.exists(valid_path):
             ds = StreamDataset(np.load(valid_path), bptt=cfg.data.bptt)
             batches = list(ds.epoch_iterator(
-                cfg.data.batch_size))[:EVAL_BATCHES]
+                cfg.data.batch_size))[:n_eval]
             if task in ("mlm", "clm"):
                 eval_put(f"{task}_batches", lang, batches)
             elif task == "mass":
@@ -286,7 +334,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
     for src, tgt in parse_steps(cfg.pc_steps):
         if tgt is None:
             continue
-        pair = _load_parallel(cfg.data.data_path, "train", src, tgt)
+        pair = _load_parallel(cfg.data.data_path, train_split, src, tgt)
         if pair is None:
             logger.warning("pc parallel data missing: %s-%s", src, tgt)
             continue
@@ -317,6 +365,10 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
             import jax
 
             train_order = _load_train_order(cfg, name)
+            if cfg.debug_pretrain:
+                # --debug_pretrain pins h5 shard 0
+                # (`dataset_pretrain.py:213-214`)
+                h5s, stores, train_order = h5s[:1], stores[:1], None
             for lang in langs:
                 caps = []
                 for p in h5s:
@@ -336,12 +388,12 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                        eval_put)
         else:
             for lang in langs:
-                cap_path = os.path.join(root, f"train.{lang}.pkl")
+                cap_path = os.path.join(root, f"{train_split}.{lang}.pkl")
                 captions = _load_captions(cap_path)
                 if captions is None:
                     continue
                 ds = RetrievalDataset(
-                    captions, split_store("train"), tokenizer, lang=lang,
+                    captions, split_store(train_split), tokenizer, lang=lang,
                     sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
                     clager=clager, seed=cfg.seed)
                 out.train_datasets[_key("rel", name, lang, multi)] = ds
@@ -353,7 +405,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                         lang=lang, sample_n=cfg.data.sample_n,
                         max_len=cfg.data.max_len)
                     pairs = list(vds.epoch_iterator(
-                        cfg.data.batch_size))[:EVAL_BATCHES]
+                        cfg.data.batch_size))[:n_eval]
                     eval_put("retrieval_valid_batches", lang,
                              [b for pair in pairs for b in pair])
                 test_caps = _load_captions(
@@ -361,7 +413,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 if test_caps:
                     eval_put("retrieval_test", lang,
                              build_eval_retrieval_arrays(
-                                 test_caps, split_store("test"), tokenizer,
+                                 _cap_images(test_caps, cfg),
+                                 split_store("test"), tokenizer,
                                  max_len=cfg.data.max_len,
                                  caps_per_image=cfg.data.seq_per_img))
 
@@ -381,7 +434,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                          if os.path.basename(p).startswith("train")), h5s[0])
         store = RegionFeatureStore(train_h5, cfg.data.max_region_num)
         for lang in langs:
-            captions = _load_captions(os.path.join(root, f"train.{lang}.pkl"))
+            captions = _load_captions(
+                os.path.join(root, f"{train_split}.{lang}.pkl"))
             if captions is None:
                 continue
             out.train_datasets[_key(task, name, lang, multi)] = \
@@ -414,7 +468,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 vds = CaptionDataset(valid_caps, store, tokenizer, lang=lang,
                                      max_len=cfg.data.max_len)
                 eval_put("caption_batches", lang, list(vds.epoch_iterator(
-                    cfg.data.batch_size))[:EVAL_BATCHES])
+                    cfg.data.batch_size))[:n_eval])
 
     # ---- MT / NTG ------------------------------------------------------
     # NTG drives from text_steps under --is_ntg (`train_x.py:443-445`)
@@ -424,14 +478,15 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         for src, tgt in parse_steps(steps):
             if tgt is None:
                 continue
-            pair = _load_parallel(cfg.data.data_path, "train", src, tgt)
+            pair = _load_parallel(cfg.data.data_path, train_split, src, tgt)
             if pair is None:
                 logger.warning("parallel data missing: %s-%s", src, tgt)
                 continue
             out.train_datasets[(kind, src)] = ParallelDataset(
                 pair[0], pair[1], tokenizer, max_len=cfg.data.max_len,
                 seed=cfg.seed, src_lang_id=cfg.lang2id.get(src),
-                tgt_lang_id=cfg.lang2id.get(tgt))
+                tgt_lang_id=cfg.lang2id.get(tgt),
+                group_by_size=cfg.data.group_by_size)
             vpair = _load_parallel(cfg.data.data_path, "valid", src, tgt)
             if vpair:
                 vds = ParallelDataset(
@@ -439,7 +494,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     src_lang_id=cfg.lang2id.get(src),
                     tgt_lang_id=cfg.lang2id.get(tgt))
                 batches = list(vds.epoch_iterator(
-                    cfg.data.batch_size, shuffle=False))[:EVAL_BATCHES]
+                    cfg.data.batch_size, shuffle=False))[:n_eval]
                 eval_put(f"{kind}_batches", src, batches)
                 # generation eval against the raw target sentences
                 # (`evaluate_mt`/`evaluate_ntg_generate`)
@@ -481,7 +536,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 out.train_datasets[("slide", name)] = ds
             else:
                 out.eval_data["slide_batches"] = list(ds.epoch_iterator(
-                    cfg.data.batch_size))[:EVAL_BATCHES]
+                    cfg.data.batch_size))[:n_eval]
 
     logger.info("loaded %d train datasets (%s); eval keys: %s",
                 len(out.train_datasets), sorted(out.train_datasets.keys()),
@@ -523,7 +578,7 @@ def _load_mild(cfg, out, root, langs, multi, tokenizer, clager,
             mild_eval = MILDDataset(test_q, test_store, tokenizer,
                                     qp_type=cfg.qp_type, lang=lang)
             eval_put("retrieval_test", lang, build_eval_retrieval_arrays(
-                mild_eval.captions, test_store, tokenizer,
+                _cap_images(mild_eval.captions, cfg), test_store, tokenizer,
                 max_len=cfg.data.max_len, caps_per_image=1))
         # MILD caption eval: generate the passage from the image, CIDEr/BLEU
         cap_q = _load_captions(os.path.join(root, f"test.caption.{lang}.pkl"),

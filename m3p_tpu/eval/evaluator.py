@@ -197,10 +197,17 @@ class Evaluator:
                             ) -> Dict[str, float]:
         hyps = self.generate_captions(params, batches, tokenizer, tgt_lang_id)
         n = min(len(hyps), len(references))
-        return {
-            "caption_bleu": corpus_bleu(hyps[:n], references[:n]),
-            "caption_cider": cider_score(hyps[:n], references[:n]),
-        }
+        # --coco_method selects which caption metrics to report
+        # (`xevaluator.py:1010`); names match the COCOEvalCap keys
+        methods = {m.strip().lower() for m in
+                   getattr(self.cfg.eval, "coco_method",
+                           "Bleu,CIDEr").split(",") if m.strip()}
+        scores: Dict[str, float] = {}
+        if "bleu" in methods:
+            scores["caption_bleu"] = corpus_bleu(hyps[:n], references[:n])
+        if "cider" in methods:
+            scores["caption_cider"] = cider_score(hyps[:n], references[:n])
+        return scores
 
     # -- slide ----------------------------------------------------------
 

@@ -563,6 +563,11 @@ class Trainer:
         if self.cfg.save_periodic > 0 and \
                 self.epoch % self.cfg.save_periodic == 0:
             self.save_checkpoint(f"periodic-{self.epoch}")
+        if self.cfg.is_pretrain and self.cfg.save_every_epoch > 0 and \
+                self.epoch % self.cfg.save_every_epoch == 0:
+            # per-epoch pretrain snapshots (`model_pretrain_%i`,
+            # `train_x.py:505-506`)
+            self.save_checkpoint(f"model_pretrain_{self.epoch}")
         self.save_checkpoint()
         self.epoch += 1
         # epoch-shard datasets re-open next epoch

@@ -193,3 +193,145 @@ def test_train_x_main_sharded_mesh(tmp_path):
     log = (tmp_path / "dump" / "m" / "s" / "train.log").read_text()
     assert "device mesh" in log and "'tensor': 2" in log
     assert "__log__" in log
+
+
+def test_tokens_per_batch_resolves_batch_size():
+    """--tokens_per_batch/--max_batch_size resolve to a static batch size
+    (the reference packs per-batch, `dataset_pretrain.py:863-890`; TPU
+    shapes are fixed)."""
+    argv = ["--data_path", "/tmp/x", "--lgs", "en", "--max_len", "32",
+            "--tokens_per_batch", "256"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    assert cfg.data.batch_size == 8
+    argv += ["--max_batch_size", "4"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    assert cfg.data.batch_size == 4
+
+
+def _mini_corpus(tmp_path, with_train=True):
+    from m3p_tpu.tokenization.unigram import train_unigram
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    vocab = str(tmp_path / "vocab.tsv")
+    sents = ["red cat runs fast", "blue dog sleeps here"] * 20
+    train_unigram(sents, vocab_size=80).save(vocab)
+    tok = XLMRTokenizer(vocab)
+    stream = np.concatenate(
+        [np.array([0] + tok.encode(s) + [2], np.int32) for s in sents])
+    if with_train:
+        np.save(tmp_path / "train.en.npy", stream)
+    np.save(tmp_path / "valid.en.npy", stream)
+    return vocab
+
+
+def test_debug_train_uses_valid_data(tmp_path):
+    """--debug_train substitutes valid data for train (`loader.py:374-375`):
+    the mlm task must build even when train.en.npy is absent."""
+    vocab = _mini_corpus(tmp_path, with_train=False)
+    argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "en", "--mlm_steps", "en", "--bptt", "16",
+            "--debug_train", "True"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    data = load_data(cfg)
+    assert ("mlm", "en") in data.train_datasets
+
+
+def test_eval_n_caps_validation_batches(tmp_path):
+    """--eval_n caps validation sentences (`xevaluator.py:485,1197`)."""
+    vocab = _mini_corpus(tmp_path)
+    argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "en", "--mlm_steps", "en", "--bptt", "16",
+            "--batch_size", "2", "--eval_n", "4"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    data = load_data(cfg)
+    assert len(data.eval_data["mlm_batches"]) == 2  # ceil(4 / bs 2)
+
+
+def test_eval_images_caps_retrieval_grid(tmp_path):
+    """--eval_images truncates the test retrieval grid
+    (`dataset_finetune.py:961`)."""
+    import pickle
+    from m3p_tpu.data.features import write_feature_shard
+
+    vocab = _mini_corpus(tmp_path)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "coco"
+    root.mkdir()
+    n, r = 8, 4
+    write_feature_shard(
+        str(root / "train.h5"),
+        features=rng.randn(n, r, 2048).astype(np.float32),
+        boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+        num_boxes=np.full(n, r, np.int64),
+        wh=np.full((n, 2), 100, np.float32),
+        image_ids=[f"i{k}" for k in range(n)],
+        objects=rng.randint(0, 1600, (n, r)),
+    )
+    caps = {f"i{k}": ["red cat runs", "blue dog"] for k in range(n)}
+    for split in ("train", "test"):
+        with open(root / f"{split}.en.pkl", "wb") as f:
+            pickle.dump(caps, f)
+    argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "en", "--cross_rel_steps", "coco-img",
+            "--max_region_num", str(r), "--sample_n", "2",
+            "--eval_images", "3", "--seq_per_img", "2"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    data = load_data(cfg)
+    cap_tokens, cap_len, cap_to_img, img_feats, *_ = \
+        data.eval_data["retrieval_test"]
+    assert img_feats.shape[0] == 3           # images capped
+    assert cap_tokens.shape[0] == 3 * 2      # seq_per_img captions each
+
+
+def test_use_noise_bart_transform():
+    """--use_noise word-noises the BART source (`xtrainer.py:1617`)."""
+    from m3p_tpu.data.loader import make_bart_transform
+
+    rng = np.random.RandomState(0)
+    tokens = np.tile(np.arange(4, 20, dtype=np.int32), (4, 1))
+    lengths = np.full(4, 16, np.int32)
+    batch = {"tokens": tokens, "lengths": lengths}
+    plain = make_bart_transform(99)(np.random.RandomState(1), dict(batch), 0)
+    noised = make_bart_transform(99, noise=(3.0, 0.2, 0.2))(
+        np.random.RandomState(1), dict(batch), 0)
+    assert {"src_tokens", "src_len", "tgt_tokens", "tgt_len"} <= set(plain)
+    # the noised source differs from the plain infilled source
+    a = plain["src_tokens"][:, :noised["src_tokens"].shape[1]]
+    b = noised["src_tokens"][:, :a.shape[1]]
+    assert a.shape[0] == b.shape[0] and not np.array_equal(a, b)
+
+
+def test_coco_method_selects_caption_metrics():
+    """--coco_method picks which caption metrics are reported
+    (`xevaluator.py:1010`)."""
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.eval.evaluator import Evaluator
+
+    cfg = small_test_config()
+    import dataclasses
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                               coco_method="CIDEr"))
+    ev = Evaluator(model=None, cfg=cfg)
+    ev.generate_captions = lambda *a, **k: ["red cat", "blue dog"]
+    scores = ev.evaluate_captioning(None, [], [["red cat"], ["a dog"]], None)
+    assert set(scores) == {"caption_cider"}
+
+
+def test_save_every_epoch_pretrain_snapshots(tmp_path):
+    """Pretrain runs save model_pretrain_<epoch> every --save_every_epoch
+    epochs (`train_x.py:505-506`)."""
+    import dataclasses
+    import jax
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+    from m3p_tpu.train.trainer import Trainer
+
+    cfg = small_test_config().replace(
+        dump_path=str(tmp_path), is_pretrain=True, save_every_epoch=2)
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    t = Trainer(cfg, model, params, datasets=None)
+    t.end_epoch({})   # epoch 0: 0 % 2 == 0 -> snapshot
+    t.end_epoch({})   # epoch 1: no snapshot
+    import os
+    assert os.path.isdir(tmp_path / "model_pretrain_0")
+    assert not os.path.isdir(tmp_path / "model_pretrain_1")
