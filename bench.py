@@ -43,12 +43,17 @@ import numpy as np
 
 BASELINE_EST = 150.0  # estimated reference samples/s/GPU (see module docstring)
 
-GROUPS = 20          # candidate groups per batch (BN=80: v5e sweet spot)
-SAMPLE_N = 4         # candidates per group -> BN = 64 joint sequences
+import os as _os
+
+# experiment knobs (defaults = the shipped configuration)
+GROUPS = int(_os.environ.get("BENCH_GROUPS", 20))   # BN=80: v5e sweet spot
+SAMPLE_N = 4         # candidates per group -> BN = GROUPS*4 joint sequences
 MAX_LEN = 64
 MAX_REGIONS = 100
 WARMUP = 3
 STEPS = 20
+REMAT = _os.environ.get("BENCH_REMAT", "0") == "1"
+FFN_QUANT = _os.environ.get("BENCH_FFN_QUANT", "int8_bwd")
 
 
 def main() -> None:
@@ -73,7 +78,8 @@ def main() -> None:
         attention_dropout=0.0,
         max_region_num=MAX_REGIONS, dtype="bfloat16",
         # int8 FFN GEMMs (see module docstring for the convergence check)
-        ffn_quant="int8_bwd",
+        ffn_quant=FFN_QUANT,
+        remat=REMAT,
     )
     model, params = build_model(cfg, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(

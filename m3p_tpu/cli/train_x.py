@@ -48,7 +48,11 @@ def get_parser() -> argparse.ArgumentParser:
     overrides cover these; --eval_bleu: BLEU is computed in-process by
     `eval/bleu.py` whenever generation eval data exists — there is no perl
     subprocess to gate; --tokens_per_batch /--max_batch_size: resolved to a
-    static batch size in args_to_config, TPU shapes are fixed).
+    static batch size in args_to_config, TPU shapes are fixed;
+    --bt_steps: no bt_step exists upstream (stats key only,
+    `xtrainer.py:112`); --cross_mass_steps: stats key only upstream
+    (`xtrainer.py:116` — the IMLM objective is actually driven from
+    mlm_steps under --is_generation, `train_x.py:459-460`)).
     """
     p = argparse.ArgumentParser(description="m3p_tpu — TPU-native M3P")
 
@@ -300,6 +304,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         cross_mlm_steps=args.cross_mlm_steps,
         cross_mrm_steps=args.cross_mrm_steps,
         cross_mrfr_steps=args.cross_mrfr_steps,
+        cross_clcm_steps=args.cross_clcm_steps,
         cross_ic_steps=args.cross_modal_steps,
         # NTG reuses the MT step DSL under --is_ntg; slide reuses
         # cross_rel_steps under --is_slide (reference loader routing,

@@ -258,6 +258,9 @@ class TrainConfig:
     cross_mlm_steps: str = ""
     cross_mrm_steps: str = ""
     cross_mrfr_steps: str = ""
+    # CLCM gate: concat-caption pairs ride the pretrain i2t batches only
+    # when non-empty (`xtrainer.py:2380`)
+    cross_clcm_steps: str = ""
     cross_ic_steps: str = ""
     cross_mt_steps: str = ""
     ntg_steps: str = ""

@@ -275,6 +275,11 @@ class Trainer:
             self._iterators[task] = self._make_iterator(task)
             return next(self._iterators[task])
 
+    def _with_clcm(self) -> bool:
+        """CLCM rides pretrain i2t batches only when --cross_clcm_steps is
+        non-empty (`xtrainer.py:2380`)."""
+        return self.cfg.is_pretrain and bool(self.cfg.cross_clcm_steps)
+
     def _make_iterator(self, task: Tuple[str, str]):
         from m3p_tpu.data.datasets import PretrainDataset
         from m3p_tpu.data.grain_pipeline import (make_grain_loader,
@@ -286,11 +291,11 @@ class Trainer:
             # checkpointable (state saved in save_checkpoint)
             git = iter(make_grain_loader(
                 dataset, self.cfg.data.batch_size, seed=self.cfg.seed,
-                epoch=self.epoch, with_clcm=self.cfg.is_pretrain))
+                epoch=self.epoch, with_clcm=self._with_clcm()))
             self._grain_iterators[task] = git
             it = self._stage_iterator(git)
         else:
-            if self.cfg.is_pretrain and isinstance(dataset, PretrainDataset):
+            if self._with_clcm() and isinstance(dataset, PretrainDataset):
                 # CLCM concat-caption pairs ride the i2t pretrain batches
                 # (`sample_captions`, `dataset_pretrain.py:412-497`)
                 raw = dataset.epoch_iterator(self.cfg.data.batch_size,

@@ -186,3 +186,31 @@ def test_ntg_from_text_steps(corpus_dir):
     data = load_data(cfg)
     assert ("ntg", "en") in data.train_datasets
     assert "ntg_gen" in data.eval_data or "ntg_gen.en" in data.eval_data
+
+
+def test_clcm_gate_from_cross_clcm_steps(corpus_dir):
+    """CLCM concat-caption pairs ride the pretrain i2t batches only when
+    --cross_clcm_steps is non-empty (`xtrainer.py:2380`)."""
+    tmp, vocab, r = corpus_dir
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    tok = XLMRTokenizer(vocab)
+    base = ["--data_path", str(tmp), "--vocab_path", vocab, "--lgs", "en",
+            "--is_pretrain", "True", "--cross_rel_steps", "coco-img",
+            "--max_region_num", str(r), "--sample_n", "2", "--ft_lgs", "en"]
+    model = params = None
+    for extra, expect in ([], False), (["--cross_clcm_steps", "coco-img"],
+                                       True):
+        cfg = args_to_config(get_parser().parse_args(base + extra))
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, n_words=tok.vocab_size,
+            mask_index=tok.mask_token_id))
+        cfg = _small_cfg(cfg, r)
+        data = load_data(cfg)
+        if model is None:
+            model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+        trainer = Trainer(cfg, model, params, data.train_datasets)
+        assert trainer._with_clcm() == expect
+        batch = trainer._get_batch(("rel", "coco"))
+        i2t = batch[1] if isinstance(batch, tuple) else batch
+        assert ("clcm_tokens" in i2t) == expect, (expect, sorted(i2t))

@@ -168,7 +168,10 @@ def test_mt_only_text_routes_mt_ic(setup):
     cfg, model, state, _ = setup
     from m3p_tpu.train.trainer import Trainer
 
-    t = Trainer(cfg.replace(mt_only_text=True), model, state.params,
+    # fresh param copies: the Trainer's compiled step donates its state,
+    # which must not consume the module-scoped fixture's buffers
+    own_params = jax.tree.map(jnp.array, state.params)
+    t = Trainer(cfg.replace(mt_only_text=True), model, own_params,
                 datasets=None)
     step = t._get_step("mt_ic")
     rng = np.random.RandomState(8)
