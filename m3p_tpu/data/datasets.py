@@ -122,6 +122,16 @@ class RetrievalDataset:
                    self._grid_batch(rng, ids, "i2t"))
 
 
+def _shard_for_epoch(train_order, epoch: int, feeder_id: int,
+                     n_feeders: int, n_shards: int) -> int:
+    """Per-epoch, per-feeder shard choice (`dataset_pretrain.py:210-226`):
+    the `train_order` JSON row wins; round-robin otherwise."""
+    if train_order is not None:
+        row = train_order[epoch % len(train_order)]
+        return row[feeder_id % len(row)]
+    return (epoch * n_feeders + feeder_id) % n_shards
+
+
 class PretrainDataset(RetrievalDataset):
     """Pre-training over sharded CC/SBU-style corpora with MCT and CLCM.
 
@@ -146,12 +156,8 @@ class PretrainDataset(RetrievalDataset):
         self.update(0)
 
     def update(self, epoch: int) -> None:
-        if self.train_order is not None:
-            row = self.train_order[epoch % len(self.train_order)]
-            shard_idx = row[self.feeder_id % len(row)]
-        else:
-            shard_idx = (epoch * self.n_feeders + self.feeder_id) \
-                % len(self.shards)
+        shard_idx = _shard_for_epoch(self.train_order, epoch, self.feeder_id,
+                                     self.n_feeders, len(self.shards))
         self.store = self.shards[shard_idx]
         self.captions = self.captions_per_shard[shard_idx]
         self.image_ids = list(self.captions.keys())
@@ -308,6 +314,38 @@ class CaptionDataset:
                 "locs": np.stack([r["locs"] for r in region]),
                 "img_len": img_len,
             }
+
+
+class PretrainCaptionDataset(CaptionDataset):
+    """Pre-training caption stream over sharded CC/SBU corpora — the caption
+    counterpart of PretrainDataset (`VLMPretrainCapDataset`,
+    `dataset_pretrain.py:507-784`): same per-epoch / per-feeder shard
+    schedule, one (caption, image) pair per item, MCT via `clager.clag`."""
+
+    def __init__(self, shards: Sequence[RegionFeatureStore],
+                 captions_per_shard: Sequence[Dict[str, List[str]]],
+                 tokenizer, train_order: Optional[Sequence[Sequence[int]]] = None,
+                 n_feeders: int = 1, feeder_id: int = 0, **kw):
+        self.shards = list(shards)
+        self.captions_per_shard = list(captions_per_shard)
+        self.train_order = train_order
+        self.n_feeders = n_feeders
+        self.feeder_id = feeder_id
+        super().__init__(captions_per_shard[0], shards[0], tokenizer, **kw)
+        self.update(0)
+
+    def update(self, epoch: int) -> None:
+        shard_idx = _shard_for_epoch(self.train_order, epoch, self.feeder_id,
+                                     self.n_feeders, len(self.shards))
+        self.store = self.shards[shard_idx]
+        self.captions = self.captions_per_shard[shard_idx]
+        self.items = [(img_id, cap) for img_id, caps in self.captions.items()
+                      for cap in caps]
+
+    def epoch_iterator(self, batch_size: int, epoch: int = 0,
+                       shuffle: bool = True):
+        self.update(epoch)
+        yield from super().epoch_iterator(batch_size, epoch, shuffle)
 
 
 class StreamDataset:

@@ -240,6 +240,8 @@ def make_grain_loader(
         operations = [gp.Batch(batch_size=batch_size, drop_remainder=True),
                       _Flatten(), _PairTuple()]
     elif isinstance(dataset, CaptionDataset):
+        if hasattr(dataset, "update"):   # PretrainCaptionDataset shards
+            dataset.update(epoch)
         source = _caption_source(dataset, row_seed)
         operations = [gp.Batch(batch_size=batch_size, drop_remainder=True)]
     elif isinstance(dataset, SlideDataset):

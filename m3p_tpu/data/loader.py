@@ -434,6 +434,29 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                          if os.path.basename(p).startswith("train")), h5s[0])
         store = RegionFeatureStore(train_h5, cfg.data.max_region_num)
         for lang in langs:
+            if cfg.is_pretrain and len(h5s) > 1:
+                # sharded CC/SBU caption pre-training: the same per-epoch
+                # shard schedule as the retrieval stream
+                # (`VLMPretrainCapDataset`, `dataset_pretrain.py:507-784`)
+                import jax
+
+                from m3p_tpu.data.datasets import PretrainCaptionDataset
+
+                caps = [_load_captions(p.replace(".h5", f".{lang}.pkl"),
+                                       warn=False) or {} for p in h5s]
+                if not any(caps):
+                    continue
+                stores = [RegionFeatureStore(p, cfg.data.max_region_num)
+                          for p in h5s]
+                out.train_datasets[_key(task, name, lang, multi)] = \
+                    PretrainCaptionDataset(
+                        stores, caps, tokenizer,
+                        train_order=_load_train_order(cfg, name),
+                        n_feeders=jax.process_count(),
+                        feeder_id=jax.process_index(), lang=lang,
+                        max_len=cfg.data.max_len, clager=clager,
+                        seed=cfg.seed, region_noise=(task == "bart_img"))
+                continue
             captions = _load_captions(
                 os.path.join(root, f"{train_split}.{lang}.pkl"))
             if captions is None:

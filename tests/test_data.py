@@ -285,3 +285,23 @@ def test_loader_split_store_selection(tmp_path, tokenizer):
     assert t2i["tokens"].shape[0] == 4
     # the eval arrays came from test.h5 (t* ids)
     assert "retrieval_test" in data.eval_data
+
+
+def test_pretrain_caption_dataset_shard_schedule(tokenizer, store, captions):
+    """PretrainCaptionDataset follows the per-epoch shard schedule
+    (`VLMPretrainCapDataset`, `dataset_pretrain.py:507-784`)."""
+    from m3p_tpu.data.datasets import PretrainCaptionDataset
+
+    caps_b = {k: ["blue dog sleeps"] for k in list(captions)[:4]}
+    ds = PretrainCaptionDataset([store, store], [captions, caps_b],
+                                tokenizer, max_len=16)
+    b0 = next(ds.epoch_iterator(batch_size=2, epoch=0))
+    assert b0["tokens"].shape == (2, 16)
+    assert len(ds.items) == sum(len(v) for v in captions.values())
+    next(ds.epoch_iterator(batch_size=2, epoch=1))
+    assert len(ds.items) == 4  # switched to the second shard's captions
+    # explicit train_order pins the shard regardless of epoch
+    ds2 = PretrainCaptionDataset([store, store], [captions, caps_b],
+                                 tokenizer, train_order=[[1]], max_len=16)
+    next(ds2.epoch_iterator(batch_size=2, epoch=5))
+    assert len(ds2.items) == 4
