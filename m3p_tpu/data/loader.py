@@ -207,6 +207,39 @@ def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
         return json.load(f)
 
 
+def _captions_for(cfg: TrainConfig, root: str, name: str, split: str,
+                  lang: str, store=None, warn: bool = True
+                  ) -> Optional[Dict[str, List[str]]]:
+    """Caption dict for (dataset, split, lang).
+
+    Prefers this framework's per-split layout ``<root>/<split>.<lang>.pkl``;
+    falls back to the reference layout — ONE pkl for every split under
+    ``data_path/uvl_captions/<name>.<lang>.pkl`` (or ``<name>.pkl`` for en),
+    `loader.py:275-281` — where split membership comes from the split's h5.
+    When ``store`` is given, captions are restricted to images present in
+    that split's feature store (required for the shared-pkl layout)."""
+    caps = _load_captions(os.path.join(root, f"{split}.{lang}.pkl"),
+                          warn=False)
+    if caps is None:
+        base = os.path.join(cfg.data.data_path, "uvl_captions")
+        cands = [os.path.join(base, f"{name}.{lang}.pkl")]
+        if lang == "en":
+            cands.append(os.path.join(base, f"{name}.pkl"))
+        for path in cands:
+            if os.path.exists(path):
+                caps = _load_captions(path)
+                break
+    if caps is None:
+        if warn:
+            logger.warning("captions not found: %s/%s.%s.pkl (and no "
+                           "uvl_captions fallback)", root, split, lang)
+        return None
+    if store is not None:
+        ids = set(store.image_ids)
+        caps = {k: v for k, v in caps.items() if k in ids}
+    return caps or None
+
+
 def _cap_images(caps: Dict[str, List[str]], cfg: TrainConfig
                 ) -> Dict[str, List[str]]:
     """--eval_images caps the retrieval test grid to the first N images
@@ -388,8 +421,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                        eval_put)
         else:
             for lang in langs:
-                cap_path = os.path.join(root, f"{train_split}.{lang}.pkl")
-                captions = _load_captions(cap_path)
+                captions = _captions_for(cfg, root, name, train_split, lang,
+                                         split_store(train_split))
                 if captions is None:
                     continue
                 ds = RetrievalDataset(
@@ -397,8 +430,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     sample_n=cfg.data.sample_n, max_len=cfg.data.max_len,
                     clager=clager, seed=cfg.seed)
                 out.train_datasets[_key("rel", name, lang, multi)] = ds
-                valid_caps = _load_captions(
-                    os.path.join(root, f"valid.{lang}.pkl"), warn=False)
+                valid_caps = _captions_for(cfg, root, name, "valid", lang,
+                                           split_store("valid"), warn=False)
                 if valid_caps:
                     vds = RetrievalDataset(
                         valid_caps, split_store("valid"), tokenizer,
@@ -408,8 +441,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                         cfg.data.batch_size))[:n_eval]
                     eval_put("retrieval_valid_batches", lang,
                              [b for pair in pairs for b in pair])
-                test_caps = _load_captions(
-                    os.path.join(root, f"test.{lang}.pkl"))
+                test_caps = _captions_for(cfg, root, name, "test", lang,
+                                          split_store("test"))
                 if test_caps:
                     eval_put("retrieval_test", lang,
                              build_eval_retrieval_arrays(
@@ -429,10 +462,13 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         if not h5s:
             logger.warning("no feature shards under %s", root)
             continue
-        # prefer the train split's shard (see split_store above)
-        train_h5 = next((p for p in h5s
-                         if os.path.basename(p).startswith("train")), h5s[0])
-        store = RegionFeatureStore(train_h5, cfg.data.max_region_num)
+        # split-aware store choice (see split_store in the rel branch)
+        def cap_store(split: str, _h5s=h5s):
+            p = next((q for q in _h5s
+                      if os.path.basename(q).startswith(split)), _h5s[0])
+            return RegionFeatureStore(p, cfg.data.max_region_num)
+
+        store = cap_store("train")
         for lang in langs:
             if cfg.is_pretrain and len(h5s) > 1:
                 # sharded CC/SBU caption pre-training: the same per-epoch
@@ -457,8 +493,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                         max_len=cfg.data.max_len, clager=clager,
                         seed=cfg.seed, region_noise=(task == "bart_img"))
                 continue
-            captions = _load_captions(
-                os.path.join(root, f"{train_split}.{lang}.pkl"))
+            captions = _captions_for(cfg, root, name, train_split, lang,
+                                     store)
             if captions is None:
                 continue
             out.train_datasets[_key(task, name, lang, multi)] = \
@@ -468,15 +504,17 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     region_noise=(task == "bart_img"))
             if task != "ic":
                 continue
-            test_caps = _load_captions(
-                os.path.join(root, f"test.{lang}.pkl"), warn=False)
+            test_store = cap_store("test")
+            test_caps = _captions_for(cfg, root, name, "test", lang,
+                                      test_store, warn=False)
             if test_caps:
                 # caption generation eval: decode each test image once,
                 # score against all its reference captions
                 # (`evaluate_image_caption`, `xevaluator.py:903-1117`)
                 gen_ds = CaptionDataset(
                     {i: caps[:1] for i, caps in test_caps.items()},
-                    store, tokenizer, lang=lang, max_len=cfg.data.max_len)
+                    test_store, tokenizer, lang=lang,
+                    max_len=cfg.data.max_len)
                 batches = list(gen_ds.epoch_iterator(
                     cfg.eval.eval_batch_size, shuffle=False))
                 img_order = [img_id for img_id, _ in gen_ds.items]
@@ -485,11 +523,12 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     "references": [test_caps[i] for i in img_order],
                     "tokenizer": tokenizer,
                     "lang_id": cfg.lang2id.get(lang)})
-            valid_caps = _load_captions(
-                os.path.join(root, f"valid.{lang}.pkl"), warn=False)
+            valid_store = cap_store("valid")
+            valid_caps = _captions_for(cfg, root, name, "valid", lang,
+                                       valid_store, warn=False)
             if valid_caps:
-                vds = CaptionDataset(valid_caps, store, tokenizer, lang=lang,
-                                     max_len=cfg.data.max_len)
+                vds = CaptionDataset(valid_caps, valid_store, tokenizer,
+                                     lang=lang, max_len=cfg.data.max_len)
                 eval_put("caption_batches", lang, list(vds.epoch_iterator(
                     cfg.data.batch_size))[:n_eval])
 

@@ -335,3 +335,53 @@ def test_save_every_epoch_pretrain_snapshots(tmp_path):
     import os
     assert os.path.isdir(tmp_path / "model_pretrain_0")
     assert not os.path.isdir(tmp_path / "model_pretrain_1")
+
+
+def test_reference_uvl_captions_layout(tmp_path):
+    """The reference caption layout — ONE pkl per (dataset, lang) under
+    data_path/uvl_captions, split membership from the split h5s
+    (`loader.py:275-281`) — loads as a fallback when per-split pkls are
+    absent; captions restrict to each split store's images."""
+    import pickle
+    from m3p_tpu.data.features import write_feature_shard
+
+    vocab = _mini_corpus(tmp_path)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "coco"
+    root.mkdir()
+    r = 4
+
+    def shard(path, ids):
+        n = len(ids)
+        write_feature_shard(
+            str(path),
+            features=rng.randn(n, r, 2048).astype(np.float32),
+            boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+            num_boxes=np.full(n, r, np.int64),
+            wh=np.full((n, 2), 100, np.float32),
+            image_ids=ids,
+            objects=rng.randint(0, 1600, (n, r)),
+        )
+
+    train_ids = [f"tr{k}" for k in range(8)]
+    test_ids = [f"te{k}" for k in range(4)]
+    shard(root / "train.h5", train_ids)
+    shard(root / "test.h5", test_ids)
+    uvl = tmp_path / "uvl_captions"
+    uvl.mkdir()
+    caps = {i: ["red cat runs", "blue dog"] for i in train_ids + test_ids}
+    with open(uvl / "coco.en.pkl", "wb") as f:
+        pickle.dump(caps, f)
+
+    argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "en", "--cross_rel_steps", "coco-img",
+            "--max_region_num", str(r), "--sample_n", "2",
+            "--seq_per_img", "2"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    data = load_data(cfg)
+    ds = data.train_datasets[("rel", "coco")]
+    assert set(ds.image_ids) == set(train_ids)
+    cap_tokens, _, cap_to_img, img_feats, *_ = \
+        data.eval_data["retrieval_test"]
+    assert img_feats.shape[0] == len(test_ids)
+    assert cap_tokens.shape[0] == len(test_ids) * 2
