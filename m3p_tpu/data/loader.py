@@ -452,7 +452,10 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                                  caps_per_image=cfg.data.seq_per_img))
 
     # ---- captioning / TIFG / IDA(bart_img) -----------------------------
-    cap_like = ([("ic", n) for n, _ in parse_steps(cfg.cross_ic_steps)]
+    # --is_mt repurposes cross_modal_steps for multimodal MT (the reference
+    # loader dispatch is exclusive, `loader.py:686-703`)
+    ic_steps = "" if cfg.is_mt else cfg.cross_ic_steps
+    cap_like = ([("ic", n) for n, _ in parse_steps(ic_steps)]
                 + [("tifg", n) for n, _ in parse_steps(cfg.tifg_steps)]
                 + [("bart_img", n) for n, _ in
                    parse_steps(cfg.cross_ae_steps)])
@@ -569,6 +572,69 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     "tokenizer": tokenizer,
                     "lang_id": cfg.lang2id.get(tgt),
                     "name": kind})
+
+    # ---- multimodal MT (`load_mt_data`, `MT_finetune.py:32-472`) -------
+    # --is_mt + --cross_modal_steps <name>-img + --ft_lgs src-tgt; caption
+    # pkls map image_id -> [src_caption, tgt_caption]
+    # (`loader.py:346-347`, `MT_finetune.py:117-124`)
+    if cfg.is_mt and len(cfg.ft_langs) >= 2:
+        src_lg, tgt_lg = cfg.ft_langs[0], cfg.ft_langs[1]
+        for name, _mod in parse_steps(cfg.cross_ic_steps):
+            root = _dataset_root(cfg, name, dataset_paths)
+            h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
+            if not h5s:
+                logger.warning("no feature shards under %s (mmt)", root)
+                continue
+
+            def mmt_store(split: str, _h5s=h5s):
+                p = next((q for q in _h5s
+                          if os.path.basename(q).startswith(split)), _h5s[0])
+                return RegionFeatureStore(p, cfg.data.max_region_num)
+
+            def load_pairs(split: str, _root=root, _name=name):
+                caps = _load_captions(os.path.join(
+                    _root, f"{split}.{src_lg}-{tgt_lg}.pkl"), warn=False)
+                if caps is None:
+                    caps = _load_captions(os.path.join(
+                        cfg.data.data_path, "uvl_captions",
+                        f"{_name}.{src_lg}-{tgt_lg}.pkl"), warn=False)
+                return caps
+
+            def mmt_dataset(pairs, store, shuffle_seed, group_by_size):
+                ids = [i for i in pairs if i in set(store.image_ids)]
+                return ids, ParallelDataset(
+                    [pairs[i][0] for i in ids],
+                    [pairs[i][1] for i in ids],
+                    tokenizer, max_len=cfg.data.max_len, seed=shuffle_seed,
+                    src_lang_id=cfg.lang2id.get(src_lg),
+                    tgt_lang_id=cfg.lang2id.get(tgt_lg),
+                    store=store, image_ids=ids,
+                    group_by_size=group_by_size)
+
+            train_pairs = load_pairs(train_split)
+            if train_pairs:
+                _, ds = mmt_dataset(train_pairs, mmt_store(train_split),
+                                    cfg.seed, cfg.data.group_by_size)
+                out.train_datasets[("mt", name)] = ds
+            valid_pairs = load_pairs("valid") or load_pairs("test")
+            if valid_pairs:
+                vstore = mmt_store("valid")
+                # length-sorted, unshuffled: the generation references below
+                # rely on this order
+                ids, vds = mmt_dataset(valid_pairs, vstore, 0, True)
+                batches = list(vds.epoch_iterator(
+                    cfg.data.batch_size, shuffle=False))[:n_eval]
+                eval_put("mmt_batches", src_lg, batches)
+                # generation references follow the length-sorted batch order
+                n_refs = len(batches) * cfg.data.batch_size
+                order = np.argsort([len(valid_pairs[i][0]) for i in ids],
+                                   kind="stable")[:n_refs]
+                eval_put("mmt_gen", src_lg, {
+                    "batches": batches,
+                    "references": [[valid_pairs[ids[j]][1]] for j in order],
+                    "tokenizer": tokenizer,
+                    "lang_id": cfg.lang2id.get(tgt_lg),
+                    "name": "mmt"})
 
     # ---- slide ---------------------------------------------------------
     for name, _mod in parse_steps(cfg.slide_steps):

@@ -164,10 +164,22 @@ class Evaluator:
             src = jnp.asarray(b["src_tokens"])
             src_mask = lengths_to_mask(jnp.asarray(b["src_len"]),
                                        src.shape[1])
-            src_enc, _ = self.model.apply(
-                {"params": params}, src, src_mask,
-                jnp.asarray(b["src_langs"]) if "src_langs" in b else None,
-                method=self.model.encode_text)
+            if "feats" in b:
+                # multimodal MT: decode against the joint [img; text]
+                # encoding (`mt_ic` eval, `xevaluator.py:903-1117`)
+                feats = jnp.asarray(b["feats"])
+                img_mask = lengths_to_mask(jnp.asarray(b["img_len"]),
+                                           feats.shape[1])
+                src_enc = self.model.apply(
+                    {"params": params}, src, src_mask, feats,
+                    jnp.asarray(b["locs"]), img_mask, True,
+                    method=self.model.encode_joint)
+                src_mask = jnp.concatenate([img_mask, src_mask], axis=1)
+            else:
+                src_enc, _ = self.model.apply(
+                    {"params": params}, src, src_mask,
+                    jnp.asarray(b["src_langs"]) if "src_langs" in b else None,
+                    method=self.model.encode_text)
             if beam_size > 1:
                 toks, lens = beam_search(
                     self.model, params, src_enc, src_mask, beam_size,
@@ -235,8 +247,9 @@ class Evaluator:
           mlm_batches, clm_batches, mass_batches, mt_batches, mmt_batches,
           ntg_batches, caption_batches, retrieval_valid_batches,
           retrieval_test (tuple of grid arrays),
-          caption_gen / mt_gen / ntg_gen (dict with batches/references/
-          tokenizer/lang_id), slide_batches
+          caption_gen / mt_gen / ntg_gen / mmt_gen (dict with batches/
+          references/tokenizer/lang_id; mmt batches carry feats and decode
+          against the joint encoding), slide_batches
         """
         scores: Dict[str, float] = {}
         for key in sorted(eval_data.keys()):
@@ -274,7 +287,7 @@ class Evaluator:
                 got = self.evaluate_captioning(
                     params, data["batches"], data["references"],
                     data["tokenizer"], data.get("lang_id"))
-            elif base in ("mt_gen", "ntg_gen"):
+            elif base in ("mt_gen", "ntg_gen", "mmt_gen"):
                 got = self.evaluate_translation(
                     params, data["batches"], data["references"],
                     data["tokenizer"], data.get("lang_id"),

@@ -214,3 +214,52 @@ def test_clcm_gate_from_cross_clcm_steps(corpus_dir):
         batch = trainer._get_batch(("rel", "coco"))
         i2t = batch[1] if isinstance(batch, tuple) else batch
         assert ("clcm_tokens" in i2t) == expect, (expect, sorted(i2t))
+
+
+def test_multimodal_mt_from_cli(corpus_dir):
+    """--is_mt + --cross_modal_steps coco-img + --ft_lgs en-de builds the
+    (src, tgt, image) ParallelDataset from the reference pkl convention
+    (`load_mt_data`, `MT_finetune.py:117-124`), routes it to the mt_ic
+    step, and evaluates mmt ppl + BLEU via the joint encoding."""
+    import pickle as pkl
+
+    tmp, vocab, r = corpus_dir
+    rng = np.random.RandomState(3)
+    root = tmp / "coco"
+    pairs = {f"i{k}": [" ".join(rng.choice(WORDS, 4)),
+                       " ".join(rng.choice(WORDS, 4))] for k in range(8)}
+    for split in ("train", "valid"):
+        with open(root / f"{split}.en-de.pkl", "wb") as f:
+            pkl.dump(pairs, f)
+
+    from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+
+    tok = XLMRTokenizer(vocab)
+    argv = ["--data_path", str(tmp), "--vocab_path", vocab, "--lgs", "en-de",
+            "--is_mt", "True", "--cross_modal_steps", "coco-img",
+            "--ft_lgs", "en-de", "--max_region_num", str(r),
+            "--sample_n", "2", "--bptt", "16"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, n_words=tok.vocab_size, mask_index=tok.mask_token_id))
+    cfg = _small_cfg(cfg, r)
+    data = load_data(cfg)
+    assert ("mt", "coco") in data.train_datasets
+    assert ("ic", "coco") not in data.train_datasets  # exclusive dispatch
+    b = next(data.train_datasets[("mt", "coco")].epoch_iterator(2))
+    assert {"src_tokens", "tgt_tokens", "feats", "locs", "img_len"} <= set(b)
+    assert "mmt_batches.en" in data.eval_data or \
+        "mmt_batches" in data.eval_data
+
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, model, params, data.train_datasets)
+    assert ("mt_ic", ("mt", "coco")) in trainer.active_tasks()
+    trainer.step_once("mt_ic", ("mt", "coco"))
+
+    from m3p_tpu.eval.evaluator import Evaluator
+
+    scores = Evaluator(model, cfg).run_all_evals(trainer.state.params,
+                                                 data.eval_data)
+    keys = {k.split(".")[0].replace("en_", "") for k in scores}
+    assert any("mmt_ppl" in k for k in scores), scores
+    assert any("mmt_bleu" in k for k in scores), scores
