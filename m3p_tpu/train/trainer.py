@@ -458,9 +458,14 @@ class Trainer:
         # continue the epoch's sentence budget after a mid-epoch resume
         self.n_sentences = self._resume_sentences
         self._resume_sentences = 0
+        # uniform mode runs every configured task per round (the reference's
+        # full permutation, `utils.py:380-385`); weighted sampling draws 3
+        # per step group per round (`shuf_order(..., n=3)`, `utils.py:365`)
+        n_draw = (len(tasks) if probs is None
+                  else 3 * len({k for k, _ in tasks}))
         while self.n_sentences < self.cfg.epoch_size and not self.should_stop:
             order = shuf_order(list(range(len(tasks))), probs=probs,
-                               n=len(tasks), rng=self.rng)
+                               n=n_draw, rng=self.rng)
             for ti in order:
                 kind, task = tasks[ti]
                 self.step_once(kind, task)

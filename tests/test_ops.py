@@ -80,3 +80,29 @@ def test_flash_bwd_matches_xla(qkv):
                                    atol=2e-5, err_msg=f"dk causal={causal}")
         np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
                                    atol=2e-5, err_msg=f"dv causal={causal}")
+
+
+def test_attention_bshd_matches_bhsd():
+    """Batch-major attention (no head transpose) matches mha_reference in
+    both masked and causal modes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from m3p_tpu.ops.attention import mha_reference, mha_reference_bshd
+
+    rng = np.random.RandomState(0)
+    B, H, S, D = 2, 3, 10, 8
+    q = rng.randn(B, H, S, D).astype(np.float32)
+    k = rng.randn(B, H, S, D).astype(np.float32)
+    v = rng.randn(B, H, S, D).astype(np.float32)
+    mask = rng.rand(B, S) > 0.3
+    mask[:, 0] = True
+    for causal in (False, True):
+        ref = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            jnp.asarray(mask), causal=causal)
+        out = mha_reference_bshd(
+            jnp.asarray(q.transpose(0, 2, 1, 3)),
+            jnp.asarray(k.transpose(0, 2, 1, 3)),
+            jnp.asarray(v.transpose(0, 2, 1, 3)),
+            jnp.asarray(mask), causal=causal)
+        np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
+                                   np.asarray(ref), atol=1e-6)
