@@ -101,6 +101,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_path", type=str, default="")
     p.add_argument("--lgs", type=str, default="en")
     p.add_argument("--src_lgs", type=str, default="")
+    p.add_argument("--ag_lgs", type=str, default="")
+    p.add_argument("--context_size", type=int, default=0)
     p.add_argument("--ft_lgs", type=str, default="")
     p.add_argument("--lg_sampling_factor", type=float, default=-1)
     p.add_argument("--vocab_path", type=str, default="")
@@ -352,6 +354,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         debug_train=args.debug_train, debug_pretrain=args.debug_pretrain,
         split_data=args.split_data, use_noise=args.use_noise,
         src_lgs=args.src_lgs, save_every_epoch=args.save_every_epoch,
+        ag_lgs=args.ag_lgs, context_size=args.context_size,
     )
 
 

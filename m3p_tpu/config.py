@@ -347,9 +347,13 @@ class TrainConfig:
     split_data: bool = False
     # word-noise the BART source (`bart_mlm_step`, `xtrainer.py:1617`)
     use_noise: float = 0.0
-    # MCT source languages — restricts the bilingual-lexicon load
-    # (`loader.py:666-684`); empty = all pairs found
+    # MCT source/augmentation languages — restrict the bilingual-lexicon
+    # load (`loader.py:666-684`); empty = all pairs found
     src_lgs: str = ""
+    ag_lgs: str = ""
+    # CLM: exclude the first positions from prediction
+    # (`xtrainer.py:712-713`)
+    context_size: int = 0
     # pretrain per-epoch model_pretrain_<i> saves (`train_x.py:505-506`)
     save_every_epoch: int = 1
 

@@ -167,13 +167,17 @@ def _build_clager(cfg: TrainConfig, paths_root: str) -> Optional[Clager]:
         paths_root = cand if os.path.isdir(cand) else ""
     if not paths_root:
         return None
-    # --src_lgs restricts which source languages load (`loader.py:666-667`)
+    # --src_lgs / --ag_lgs restrict which source / augmentation-target
+    # languages load (`loader.py:666-669`)
     src_filter = {l for l in cfg.src_lgs.split("-") if l}
+    ag_filter = {l for l in cfg.ag_lgs.split("-") if l}
     lexicon: Dict = {}
     for path in glob.glob(os.path.join(paths_root, "*-*.txt")):
         name = os.path.splitext(os.path.basename(path))[0]
         src, tgt = name.split("-")[:2]
         if src_filter and src not in src_filter:
+            continue
+        if ag_filter and tgt not in ag_filter:
             continue
         load_bilingual_dict(path, src, tgt, lexicon)
     if not lexicon:
@@ -439,8 +443,9 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                         max_len=cfg.data.max_len)
                     pairs = list(vds.epoch_iterator(
                         cfg.data.batch_size))[:n_eval]
-                    eval_put("retrieval_valid_batches", lang,
-                             [b for pair in pairs for b in pair])
+                    # (t2i, i2t) pairs: the evaluator reports per-direction
+                    # accs (the recipe's valid_T2I_acc / valid_I2T_acc)
+                    eval_put("retrieval_valid_batches", lang, pairs)
                 test_caps = _captions_for(cfg, root, name, "test", lang,
                                           split_store("test"))
                 if test_caps:

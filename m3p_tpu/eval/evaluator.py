@@ -96,18 +96,39 @@ class Evaluator:
 
     # -- retrieval ------------------------------------------------------
 
-    def evaluate_retrieval_valid(self, params, batches: Iterable[Dict]
+    def evaluate_retrieval_valid(self, params, batches: Iterable
                                  ) -> Dict[str, float]:
-        """Sample-grid accuracy (valid split, `evaluate_t2i/i2t`)."""
+        """Sample-grid accuracy (valid split, `evaluate_t2i/i2t`).
+
+        ``batches``: (t2i, i2t) tuples — per-direction accs are reported as
+        ``T2I_acc``/``I2T_acc`` (the reference recipes track
+        ``valid_T2I_acc``/``valid_I2T_acc``) — or plain batch dicts, which
+        only feed the combined ``retrieval_acc``."""
         key = jax.random.PRNGKey(EVAL_SEED)
-        accs = []
-        for b in batches:
+        per_dir: Dict[str, List[float]] = {"T2I": [], "I2T": []}
+        accs: List[float] = []
+
+        def one(b):
             b = {k: jnp.asarray(v) for k, v in b.items()}
             _, m = S.itm_finetune_loss(self.model, params, b, key,
                                        self.cfg.data.sample_n,
                                        deterministic=True)
-            accs.append(float(m["acc"]))
-        return {"retrieval_acc": 100.0 * float(np.mean(accs)) if accs else 0.0}
+            return float(m["acc"])
+
+        for item in batches:
+            if isinstance(item, (tuple, list)) and len(item) == 2:
+                for direction, b in zip(("T2I", "I2T"), item):
+                    acc = one(b)
+                    per_dir[direction].append(acc)
+                    accs.append(acc)
+            else:
+                accs.append(one(item))
+        out = {"retrieval_acc":
+               100.0 * float(np.mean(accs)) if accs else 0.0}
+        for d, vals in per_dir.items():
+            if vals:
+                out[f"{d}_acc"] = 100.0 * float(np.mean(vals))
+        return out
 
     def evaluate_retrieval_test(self, params, cap_tokens, cap_len, cap_to_img,
                                 img_feats, img_locs, img_len,

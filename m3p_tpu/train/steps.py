@@ -95,14 +95,20 @@ def seq2seq_ce(model: M3PModel, params, src_enc, src_mask, tgt_tokens,
 
 
 def clm_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
-             deterministic: bool = False) -> Tuple[jax.Array, Metrics]:
+             deterministic: bool = False, context_size: int = 0
+             ) -> Tuple[jax.Array, Metrics]:
     """Causal LM on text streams (`clm_steps` / `evaluate_clm` — XLM heritage
     kept in the reference CLI surface): causal self-attention over the
-    sequence, next-token CE."""
+    sequence, next-token CE.  ``context_size`` > 0 excludes the first
+    positions from prediction (context-conditioned CLM,
+    `xtrainer.py:712-713`)."""
     tokens = batch["tokens"]
     text_mask = lengths_to_mask(batch["lengths"], tokens.shape[1])
     x, y = tokens[:, :-1], tokens[:, 1:]
     y_mask = text_mask[:, 1:].astype(jnp.float32)
+    if context_size > 0:
+        y_mask = y_mask * (jnp.arange(y.shape[1])[None, :]
+                           >= context_size).astype(jnp.float32)
     hidden, _ = model.apply(
         {"params": params}, x, text_mask[:, :-1], batch.get("langs"),
         None, True, method=model.encode_text,

@@ -140,7 +140,8 @@ class Trainer:
                 return lam.get("lambda_mlm", 1.0) * loss, m
         elif kind == "clm":
             def loss_fn(p, b, key, **lam):
-                loss, m = S.clm_loss(model, p, b, key)
+                loss, m = S.clm_loss(model, p, b, key,
+                                     context_size=cfg.context_size)
                 return lam.get("lambda_clm", 1.0) * loss, m
         elif kind in ("rel", "pretrain_rel"):
             if kind == "rel":
@@ -540,11 +541,24 @@ class Trainer:
 
         signal.signal(signal.SIGTERM, handler)
 
+    @staticmethod
+    def _resolve_metric(name: str, scores: Dict[str, float]) -> Optional[str]:
+        """Match a reference metric name to this framework's score keys:
+        exact first, then with the reference's `valid_`/`test_` split prefix
+        stripped (the recipes pass e.g. `valid_mean_recall`,
+        `README.md:158-216`; scores here are unprefixed)."""
+        if name in scores:
+            return name
+        for pre in ("valid_", "test_"):
+            if name.startswith(pre) and name[len(pre):] in scores:
+                return name[len(pre):]
+        return None
+
     def save_best_model(self, scores: Dict[str, float]) -> None:
         for metric in [m for m in self.cfg.validation_metrics.split(",") if m]:
             sign = -1.0 if metric.startswith("_") else 1.0
-            name = metric.lstrip("_")
-            if name not in scores:
+            name = self._resolve_metric(metric.lstrip("_"), scores)
+            if name is None:
                 continue
             value = sign * scores[name]
             if value > self.best_metrics.get(name, -1e18):
@@ -557,8 +571,8 @@ class Trainer:
         if crit:
             metric, patience = crit.split(",")
             sign = -1.0 if metric.startswith("_") else 1.0
-            name = metric.lstrip("_")
-            if name in scores:
+            name = self._resolve_metric(metric.lstrip("_"), scores)
+            if name is not None:
                 value = sign * scores[name]
                 key = f"stop-{name}"
                 if value > self.best_metrics.get(key, -1e18):

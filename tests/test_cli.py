@@ -385,3 +385,50 @@ def test_reference_uvl_captions_layout(tmp_path):
         data.eval_data["retrieval_test"]
     assert img_feats.shape[0] == len(test_ids)
     assert cap_tokens.shape[0] == len(test_ids) * 2
+
+
+def test_full_reference_mscoco_recipe_parses():
+    """Every flag of the reference README's fine-tune-MSCOCO command
+    (`README.md:155-215`) parses and builds a config — verbatim drop-in
+    compatibility (launcher flags excluded; they belong to
+    torch.distributed.launch, not train_x)."""
+    argv = [
+        "--data_path", "/d", "--reload_model", "/m.pth",
+        "--dump_path", "/out", "--exp_name", "e",
+        "--batch_size", "24", "--emb_dim", "768", "--n_layers", "12",
+        "--n_heads", "12", "--n_dec_layers", "-1", "--dropout", "0.1",
+        "--attention_dropout", "0.1", "--gelu_activation", "True",
+        "--optimizer", "adam_inverse_sqrt,beta1=0.9,beta2=0.98,lr=0.00005",
+        "--lgs", "en-de-fr", "--vocab_path", "/v",
+        "--google_path", "google_captions/obj100",
+        "--sbu_path", "google_captions/obj100",
+        "--coco_path", "coco", "--flicker_path", "flicker",
+        "--cross_rel_steps", "coco-img", "--mlm_steps", "",
+        "--epoch_size", "150000", "--max_epoch", "150", "--bptt", "128",
+        "--max_len", "64", "--fp16", "True",
+        "--validation_metrics", "valid_I2T_acc,valid_T2I_acc",
+        "--max_region_num", "100", "--accumulate_gradients", "4",
+        "--amp", "1", "--refine_image", "False",
+        "--refine_encoder", "False", "--input_fea_dir", "/fea",
+        "--save_every_epoch", "5", "--is_generation", "False",
+        "--is_understanding", "True", "--is_pretrain", "False",
+        "--use_new_fea", "True", "--t2i_flag", "True", "--i2t_flag", "True",
+        "--eval_n", "50", "--sent_ratio", "0.8", "--word_ratio", "0.8",
+        "--seq_per_img", "5", "--eval_images", "-1", "--sample_n", "4",
+        "--multi_cls_loss_weight", "0", "--bin_cls_loss_weight", "1",
+        "--num_workers", "4", "--eval_path", "/ev",
+        "--google_valid_path", "/cc", "--train_order_path", "/ord",
+        "--cross_lingual_path", "/cl", "--ft_lgs", "en", "--src_lgs", "en",
+        "--ag_lgs", "", "--eval_only", "False", "--is_freelb", "False",
+    ]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    assert cfg.multi_cls_loss_weight == 0.0
+    assert cfg.bin_cls_loss_weight == 1.0
+    assert cfg.eval.eval_n == 50 and cfg.eval.eval_images == -1
+    assert cfg.save_every_epoch == 5 and cfg.src_lgs == "en"
+    assert cfg.validation_metrics == "valid_I2T_acc,valid_T2I_acc"
+    # the tracked metric names resolve against this framework's score keys
+    from m3p_tpu.train.trainer import Trainer
+
+    assert Trainer._resolve_metric("valid_I2T_acc", {"I2T_acc": 1.0}) \
+        == "I2T_acc"

@@ -315,3 +315,21 @@ def test_fused_adam_master_params():
     np.testing.assert_allclose(
         np.asarray(s_ref.params["w"]),
         np.asarray(s_m.opt_state["master"]["w"]), rtol=0.05, atol=0.02)
+
+
+def test_clm_context_size(setup):
+    """--context_size excludes the first positions from CLM prediction
+    (`xtrainer.py:712-713`)."""
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(9)
+    batch = _np_batch(synthetic.make_stream_batch(rng, 2, 16,
+                                                  cfg.model.n_words))
+    key = jax.random.PRNGKey(0)
+    full, _ = S.clm_loss(model, state.params, batch, key, deterministic=True)
+    ctx, _ = S.clm_loss(model, state.params, batch, key, deterministic=True,
+                        context_size=8)
+    assert np.isfinite(float(ctx)) and float(ctx) != float(full)
+    # excluding everything zeroes the loss (guarded denominator)
+    allctx, _ = S.clm_loss(model, state.params, batch, key,
+                           deterministic=True, context_size=16)
+    assert float(allctx) == 0.0

@@ -61,3 +61,25 @@ def test_small_config():
     assert cfg.model.ffn_dim == 4 * cfg.model.emb_dim
     assert cfg.model.head_dim * cfg.model.n_heads == cfg.model.emb_dim
     assert cfg.lang2id == {"en": 0}
+
+
+def test_reference_metric_names_resolve(tmp_path):
+    """--validation_metrics valid_mean_recall / --stopping_criterion
+    valid_mean_recall,10 (the reference README recipe) must track this
+    framework's unprefixed score keys."""
+    import jax
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+    from m3p_tpu.train.trainer import Trainer
+
+    cfg = small_test_config().replace(
+        dump_path=str(tmp_path),
+        validation_metrics="valid_mean_recall",
+        stopping_criterion="valid_mean_recall,0")
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    t = Trainer(cfg, model, params, datasets=None)
+    t.save_best_model({"mean_recall": 41.0})
+    assert t.best_metrics.get("mean_recall") == 41.0
+    t.end_epoch({"mean_recall": 41.0})
+    t.end_epoch({"mean_recall": 40.0})   # worse -> patience 0 exceeded
+    assert t.should_stop
