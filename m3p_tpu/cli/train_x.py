@@ -44,7 +44,7 @@ def get_parser() -> argparse.ArgumentParser:
     cosmetics (--retrieval_batch: only sizes a tqdm update upstream,
     `xevaluator.py:1612`), and legacy knobs subsumed by this framework's
     config (--encoder_only /--is_cross_modal: one unified model class;
-    --use_new_fea /--eval_path /--google_valid_path: per-dataset path
+    --use_new_fea /--google_valid_path: per-dataset path
     overrides cover these; --eval_bleu: BLEU is computed in-process by
     `eval/bleu.py` whenever generation eval data exists — there is no perl
     subprocess to gate; --tokens_per_batch /--max_batch_size: resolved to a
@@ -298,7 +298,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
                     early_stopping=args.early_stopping,
                     test_splits=args.test_splits,
                     eval_n=args.eval_n, eval_images=args.eval_images,
-                    coco_method=args.coco_method)
+                    coco_method=args.coco_method, eval_path=args.eval_path)
     return TrainConfig(
         exp_name=args.exp_name, exp_id=args.exp_id, dump_path=args.dump_path,
         model=model, optim=optim, mesh=mesh, data=data, eval=ev,

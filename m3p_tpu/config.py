@@ -236,6 +236,9 @@ class EvalConfig:
     # deviation: defaults to both since BLEU/CIDEr are in-process here
     # (the reference shells out per metric)
     coco_method: str = "Bleu,CIDEr"
+    # artifact dir: retrieval score-matrix .npy + inference.log R@k lines
+    # (`--eval_path`, `xevaluator.py:258-259,1616-1619`); empty = no dumps
+    eval_path: str = ""
 
 
 @dataclass

@@ -139,6 +139,19 @@ class Evaluator:
             img_len, chunk_size=chunk_size,
             refine_image=getattr(self.cfg, "refine_image", True))
         r = recall_at_k(scores, cap_to_img)
+        eval_path = getattr(self.cfg.eval, "eval_path", "")
+        if eval_path:
+            # reference eval artifacts (`xevaluator.py:258-259,1616-1619`):
+            # the raw image x caption score matrix and an R@k append log
+            import os
+
+            os.makedirs(eval_path, exist_ok=True)
+            np.save(os.path.join(
+                eval_path, f"score_{prefix or 'test'}"
+                f"_rank{jax.process_index()}.npy"), np.asarray(scores))
+            with open(os.path.join(eval_path, "inference.log"), "a") as f:
+                f.write(" ".join(str(r[k]) for k in
+                                 ("i2t_r1", "i2t_r5", "i2t_r10")) + "\n")
         return {f"{prefix}{k}": v for k, v in r.items()}
 
     # -- generation -----------------------------------------------------

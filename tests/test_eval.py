@@ -119,3 +119,34 @@ def test_retrieval_grid_process_sharding_merges():
     np.testing.assert_allclose(parts[0] + parts[1], full, atol=1e-5)
     # each process actually scored a strict subset
     assert (parts[0] == 0).any() and (parts[1] == 0).any()
+
+
+def test_eval_path_artifacts(tmp_path):
+    """--eval_path dumps the retrieval score matrix (.npy) and appends R@k
+    lines to inference.log (`xevaluator.py:258-259,1616-1619`)."""
+    import dataclasses
+    import os
+    from m3p_tpu.eval.evaluator import Evaluator
+
+    cfg = small_test_config()
+    cfg = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, eval_path=str(tmp_path / "ev")))
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    n_img, n_cap, S, R = 3, 6, 10, 8
+    cap_tokens = rng.randint(4, 500, (n_cap, S)).astype(np.int32)
+    cap_len = np.full(n_cap, S, np.int32)
+    cap_to_img = np.repeat(np.arange(n_img), 2)
+    feats = rng.randn(n_img, R, 2048).astype(np.float32)
+    locs = rng.rand(n_img, R, 5).astype(np.float32)
+    img_len = np.full(n_img, R, np.int32)
+
+    ev = Evaluator(model, cfg)
+    r = ev.evaluate_retrieval_test(params, cap_tokens, cap_len, cap_to_img,
+                                   feats, locs, img_len, chunk_size=6)
+    assert "i2t_r1" in r
+    npys = [f for f in os.listdir(tmp_path / "ev") if f.endswith(".npy")]
+    assert len(npys) == 1
+    assert np.load(tmp_path / "ev" / npys[0]).shape == (n_img, n_cap)
+    log = (tmp_path / "ev" / "inference.log").read_text().strip().split()
+    assert len(log) == 3
