@@ -287,8 +287,13 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
 
         langs = [langs[jax.process_index() % len(langs)]]
     multi = len(langs) > 1
-    n_words = cfg.model.n_words
-    mask_index = cfg.model.mask_index
+    # vocab ids come from the LOADED tokenizer, not the (possibly stale)
+    # model config — the CLI rebuilds the model config from the tokenizer
+    # only after load_data, and the noise transforms built here must use
+    # the real <mask>/vocab ids (a 250001 mask id in a small vocab fed
+    # out-of-range embedding lookups -> NaN training)
+    n_words = getattr(tokenizer, "vocab_size", cfg.model.n_words)
+    mask_index = getattr(tokenizer, "mask_token_id", cfg.model.mask_index)
     # --debug_train: valid data substitutes for train (`loader.py:374-375`)
     train_split = "valid" if cfg.debug_train else "train"
     # --eval_n caps validation set size per family (`xevaluator.py:485,1197`)

@@ -432,3 +432,22 @@ def test_full_reference_mscoco_recipe_parses():
 
     assert Trainer._resolve_metric("valid_I2T_acc", {"I2T_acc": 1.0}) \
         == "I2T_acc"
+
+
+def test_loader_transforms_use_tokenizer_ids(tmp_path):
+    """Noise transforms built in load_data must use the LOADED tokenizer's
+    vocab/<mask> ids, not the model config's defaults — main() only rebuilds
+    the model config after load_data, and a 250001 mask id in a small vocab
+    fed out-of-range embedding lookups (NaN training)."""
+    vocab = _mini_corpus(tmp_path)
+    argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "en", "--mass_steps", "en", "--bptt", "12",
+            "--batch_size", "2", "--eval_n", "4"]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    assert cfg.model.n_words == 250002          # pre-replacement default
+    data = load_data(cfg)
+    vocab_size = data.tokenizer.vocab_size
+    b = next(data.train_datasets[("mass", "en")].epoch_iterator(2))
+    assert int(b["enc_tokens"].max()) < vocab_size
+    for eb in data.eval_data["mass_batches"]:
+        assert int(eb["enc_tokens"].max()) < vocab_size
