@@ -300,9 +300,13 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
     n_eval = (max(1, -(-cfg.eval.eval_n // cfg.data.batch_size))
               if cfg.eval.eval_n > 0 else EVAL_BATCHES)
     # --split_data shards mono streams across data feeders
-    # (`loader.py:409-413`); off = every feeder sees the full stream
+    # (`loader.py:409-413`); off = every feeder sees the full stream.
+    # Under the Grain pipeline, ShardByJaxProcess already process-shards
+    # every source (the always-correct DP behavior), so pre-slicing here
+    # would double-shard and silently drop (N-1)/N of each feeder's data —
+    # the slice applies to the thread-prefetcher path only.
     feed_kw: Dict[str, int] = {}
-    if cfg.split_data:
+    if cfg.split_data and not cfg.data.use_grain:
         import jax
 
         feed_kw = dict(n_feeders=jax.process_count(),
@@ -481,7 +485,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                       if os.path.basename(q).startswith(split)), _h5s[0])
             return RegionFeatureStore(p, cfg.data.max_region_num)
 
-        store = cap_store("train")
+        # follow --debug_train's split substitution (matches the rel branch)
+        store = cap_store(train_split)
         for lang in langs:
             if cfg.is_pretrain and len(h5s) > 1:
                 # sharded CC/SBU caption pre-training: the same per-epoch
@@ -611,7 +616,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 return caps
 
             def mmt_dataset(pairs, store, shuffle_seed, group_by_size):
-                ids = [i for i in pairs if i in set(store.image_ids)]
+                store_ids = set(store.image_ids)
+                ids = [i for i in pairs if i in store_ids]
                 return ids, ParallelDataset(
                     [pairs[i][0] for i in ids],
                     [pairs[i][1] for i in ids],
@@ -626,9 +632,13 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 _, ds = mmt_dataset(train_pairs, mmt_store(train_split),
                                     cfg.seed, cfg.data.group_by_size)
                 out.train_datasets[("mt", name)] = ds
-            valid_pairs = load_pairs("valid") or load_pairs("test")
+            valid_pairs, valid_src = load_pairs("valid"), "valid"
+            if valid_pairs is None:
+                valid_pairs, valid_src = load_pairs("test"), "test"
             if valid_pairs:
-                vstore = mmt_store("valid")
+                # the feature store must match the split that provided the
+                # pairs, or the id intersection silently empties the eval
+                vstore = mmt_store(valid_src)
                 # length-sorted, unshuffled: the generation references below
                 # rely on this order
                 ids, vds = mmt_dataset(valid_pairs, vstore, 0, True)

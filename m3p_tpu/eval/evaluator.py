@@ -72,8 +72,13 @@ class Evaluator:
         losses, accs = [], []
         for b in batches:
             b = {k: jnp.asarray(v) for k, v in b.items()}
-            fn = S.mt_caption_loss if multimodal else S.mt_loss
-            loss, m = fn(self.model, params, b, key, deterministic=True)
+            if multimodal:
+                loss, m = S.mt_caption_loss(
+                    self.model, params, b, key, deterministic=True,
+                    refine_image=getattr(self.cfg, "refine_image", True))
+            else:
+                loss, m = S.mt_loss(self.model, params, b, key,
+                                    deterministic=True)
             losses.append(float(loss))
             accs.append(float(m["acc"]))
         mean = float(np.mean(losses)) if losses else float("nan")
@@ -206,7 +211,8 @@ class Evaluator:
                                            feats.shape[1])
                 src_enc = self.model.apply(
                     {"params": params}, src, src_mask, feats,
-                    jnp.asarray(b["locs"]), img_mask, True,
+                    jnp.asarray(b["locs"]), img_mask,
+                    getattr(self.cfg, "refine_image", True),
                     method=self.model.encode_joint)
                 src_mask = jnp.concatenate([img_mask, src_mask], axis=1)
             else:
@@ -244,10 +250,19 @@ class Evaluator:
         hyps = self.generate_captions(params, batches, tokenizer, tgt_lang_id)
         n = min(len(hyps), len(references))
         # --coco_method selects which caption metrics to report
-        # (`xevaluator.py:1010`); names match the COCOEvalCap keys
+        # (`xevaluator.py:1010`); names match the COCOEvalCap keys.  Only
+        # BLEU and CIDEr are implemented in-process; an unknown-only list
+        # (e.g. "Meteor") falls back to both rather than silently
+        # evaluating nothing (best-model tracking depends on these keys).
         methods = {m.strip().lower() for m in
                    getattr(self.cfg.eval, "coco_method",
                            "Bleu,CIDEr").split(",") if m.strip()}
+        if not methods & {"bleu", "cider"}:
+            logger.warning(
+                "coco_method %r has no in-process metric (supported: "
+                "Bleu, CIDEr) — computing both",
+                getattr(self.cfg.eval, "coco_method", ""))
+            methods = {"bleu", "cider"}
         scores: Dict[str, float] = {}
         if "bleu" in methods:
             scores["caption_bleu"] = corpus_bleu(hyps[:n], references[:n])

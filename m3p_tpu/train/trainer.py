@@ -183,7 +183,8 @@ class Trainer:
                     return lam.get("lambda_mt", 1.0) * loss, m
             else:
                 def loss_fn(p, b, key, **lam):
-                    loss, m = S.mt_caption_loss(model, p, b, key)
+                    loss, m = S.mt_caption_loss(
+                        model, p, b, key, refine_image=cfg.refine_image)
                     return lam.get("lambda_mt", 1.0) * loss, m
         elif kind == "slide":
             def loss_fn(p, b, key, **lam):
@@ -452,6 +453,26 @@ class Trainer:
                 else 1
         return set_sampling_probs(sizes, coeff)
 
+    def _round_order(self, tasks, probs) -> List[int]:
+        """One round's task order.  Uniform mode runs every configured task
+        (the reference's full permutation, `utils.py:380-385`).  Weighted
+        mode draws 3 per STEP GROUP with the corpus-size probs normalized
+        within each group (`shuf_order(steps, params, n=3)` per DSL group,
+        `train_x.py:427-480`) — a single flat weighted draw would starve
+        small-corpus objectives entirely."""
+        idx = list(range(len(tasks)))
+        if probs is None:
+            return shuf_order(idx, n=len(idx), rng=self.rng)
+        groups: Dict[str, List[int]] = {}
+        for i, (kind, _) in enumerate(tasks):
+            groups.setdefault(kind, []).append(i)
+        order: List[int] = []
+        for kind in sorted(groups):
+            g = groups[kind]
+            order.extend(shuf_order(g, probs={i: probs[i] for i in g},
+                                    n=3, rng=self.rng))
+        return order
+
     def train_epoch(self) -> None:
         tasks = self.active_tasks()
         assert tasks, "no active training tasks configured"
@@ -459,14 +480,8 @@ class Trainer:
         # continue the epoch's sentence budget after a mid-epoch resume
         self.n_sentences = self._resume_sentences
         self._resume_sentences = 0
-        # uniform mode runs every configured task per round (the reference's
-        # full permutation, `utils.py:380-385`); weighted sampling draws 3
-        # per step group per round (`shuf_order(..., n=3)`, `utils.py:365`)
-        n_draw = (len(tasks) if probs is None
-                  else 3 * len({k for k, _ in tasks}))
         while self.n_sentences < self.cfg.epoch_size and not self.should_stop:
-            order = shuf_order(list(range(len(tasks))), probs=probs,
-                               n=n_draw, rng=self.rng)
+            order = self._round_order(tasks, probs)
             for ti in order:
                 kind, task = tasks[ti]
                 self.step_once(kind, task)

@@ -83,3 +83,27 @@ def test_reference_metric_names_resolve(tmp_path):
     t.end_epoch({"mean_recall": 41.0})
     t.end_epoch({"mean_recall": 40.0})   # worse -> patience 0 exceeded
     assert t.should_stop
+
+
+def test_weighted_sampling_draws_per_group(tmp_path):
+    """Weighted task sampling draws 3 per STEP GROUP (reference
+    `shuf_order(steps, params, n=3)` per DSL group) — a flat weighted draw
+    would starve small-corpus objectives."""
+    import jax
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+    from m3p_tpu.train.trainer import Trainer
+
+    cfg = small_test_config().replace(dump_path=str(tmp_path))
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    t = Trainer(cfg, model, params, datasets=None)
+    tasks = [("mlm", ("mlm", "en")), ("mlm", ("mlm", "de")),
+             ("rel", ("rel", "coco"))]
+    # extreme skew: mlm corpora vastly larger than rel
+    probs = {0: 0.699, 1: 0.3, 2: 0.001}
+    order = t._round_order(tasks, probs)
+    kinds = [tasks[i][0] for i in order]
+    assert kinds.count("rel") == 3       # its own group: always drawn
+    assert kinds.count("mlm") == 3       # 3 draws within the mlm group
+    # uniform mode: every task exactly once
+    assert sorted(t._round_order(tasks, None)) == [0, 1, 2]
