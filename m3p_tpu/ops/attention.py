@@ -240,13 +240,18 @@ def flash_attention(
     kv_mask: Optional[jax.Array] = None,  # (B, Sk) bool
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
     return_residuals: bool = False,
 ):
     """Pallas flash attention (forward).  Pads sequence dims to block multiples
     internally; padded keys are masked out, padded query rows are discarded.
+
+    Default blocks are 512x512, the best point of an on-chip fwd+bwd sweep at
+    B=4/H=12/S=2048/D=64 (v5e: 9.0ms vs 22.4ms at 128x128 and 12.8ms for XLA
+    attention; tools/bench_flash_blocks.py).  Blocks are clamped to the padded
+    sequence length for shorter inputs.
 
     With ``return_residuals`` also returns the per-row softmax statistics
     (l, m) as opaque (B*H*num_q_blocks, 1, block_q) arrays consumed by
@@ -345,7 +350,11 @@ def _recompute_p_ds(q, kref, mask_ref, l_ref, m_ref, di_ref, do, v,
     l = l_ref[0, 0, :][:, None]
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     p = jnp.exp(s - m) * l_inv                       # (block_q, block_k)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+    # GEMM operands in the input dtype (bf16 in training) with f32
+    # accumulation — fp32 operands ran the MXU at a fraction of its bf16
+    # rate and made the fused backward slower than XLA end-to-end
+    dp = jax.lax.dot_general(do.astype(v.dtype), v,
+                             (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - di_ref[0, 0, :][:, None])         # (block_q, block_k)
     return p, ds
@@ -371,16 +380,17 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
     @pl.when(should_run)
     def _run():
         q = q_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]
         p, ds = _recompute_p_ds(q, k_ref[0, 0], mask_ref, l_ref, m_ref,
                                 di_ref, do, v_ref[0, 0], causal, scale,
                                 block_q, block_k, q_idx, kv_idx, q_offset)
-        # dv += p^T @ do ; dk += ds^T @ q * scale
+        # dv += p^T @ do ; dk += ds^T @ q * scale — operands in the input
+        # dtype, f32 accumulation (see _recompute_p_ds)
         dv_scratch[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_scratch[...] += jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(q_idx == num_q_blocks - 1)
@@ -407,12 +417,12 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
     @pl.when(should_run)
     def _run():
         q = q_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]
         _, ds = _recompute_p_ds(q, k_ref[0, 0], mask_ref, l_ref, m_ref,
                                 di_ref, do, v_ref[0, 0], causal, scale,
                                 block_q, block_k, q_idx, kv_idx, q_offset)
         dq_scratch[...] += jax.lax.dot(
-            ds, k_ref[0, 0].astype(jnp.float32),
+            ds.astype(k_ref.dtype), k_ref[0, 0],
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(kv_idx == num_kv_blocks - 1)
@@ -428,8 +438,8 @@ def flash_attention_bwd(
     q, k, v, kv_mask, o, l_res, m_res, do,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ):
     """Fused flash-attention backward: returns (dq, dk, dv)."""
@@ -567,11 +577,12 @@ _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 # Below this KV length the (Sq, Sk) score matrix is small enough that XLA's
 # fused attention beats the Pallas kernel (measured on v5e at the M3P joint
-# sequence of 164: XLA 526 vs Pallas 419 samples/s end-to-end) — the flash
-# kernel's layout transposes around the custom call and its padding to
-# 128-blocks dominate.  Flash attention pays off once the score matrix
-# stresses VMEM/HBM, i.e. long-sequence configs.
-PALLAS_MIN_KV_LEN = 1024
+# sequence of 164: XLA 526 vs Pallas 419 samples/s end-to-end) — the layout
+# transposes around the custom call and block padding dominate.  With the
+# 512x512 blocks the flash path wins end-to-end from S=512 up (12L/768d MLM:
+# 1.05x at S=512/B=16, 1.59x at S=2048/B=4, and at S=2048/B=8 it runs where
+# the XLA path OOMs — no S^2 score materialization).
+PALLAS_MIN_KV_LEN = 512
 
 
 def attention(

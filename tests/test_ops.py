@@ -106,3 +106,36 @@ def test_attention_bshd_matches_bhsd():
             jnp.asarray(mask), causal=causal)
         np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
                                    np.asarray(ref), atol=1e-6)
+
+
+def test_flash_bwd_bf16_parity():
+    """bf16 operands (the training dtype): the fused backward's bf16-GEMM
+    formulation must match autodiff-through-reference within bf16 noise."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from m3p_tpu.ops.attention import (_attention_pallas, mha_reference)
+
+    rng = np.random.RandomState(3)
+    B, H, S, D = 1, 2, 16, 8
+    q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    mask = jnp.ones((B, S), bool)
+    scale = 1.0 / (D ** 0.5)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(_attention_pallas(q, k, v, mask, False, scale,
+                                         True).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, mask,
+                                     sm_scale=scale).astype(jnp.float32) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_p, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.15, rtol=0.1,
+                                   err_msg=f"d{name}")
