@@ -115,6 +115,7 @@ class Evaluator:
 
         def one(b):
             b = {k: jnp.asarray(v) for k, v in b.items()}
+            b = S.expand_compact_batch(b)
             _, m = S.itm_finetune_loss(self.model, params, b, key,
                                        self.cfg.data.sample_n,
                                        deterministic=True)

@@ -80,6 +80,7 @@ def make_freelb_itm_step(
     `free_lb_t2i/i2t_step`, `xtrainer.py:2020-2223`)."""
 
     def step(state, batch: Dict[str, jax.Array], rng: jax.Array):
+        batch = S.expand_compact_batch(batch)
         params = state.params
         tokens = batch["tokens"]
         text_mask = lengths_to_mask(batch["text_len"], tokens.shape[1])
@@ -154,6 +155,7 @@ def make_freelb_pretrain_step(
     steps (same PRNG), so the attack targets a consistent objective."""
 
     def step(state, batch: Dict[str, jax.Array], rng: jax.Array, **lam):
+        batch = S.expand_compact_batch(batch)
         params = state.params
         dim = model.cfg.emb_dim
         lam_kw = dict(
@@ -218,6 +220,7 @@ def make_freelb_ic_step(
     side) and the decoder-input token embeddings."""
 
     def step(state, batch: Dict[str, jax.Array], rng: jax.Array, **lam):
+        batch = S.expand_compact_batch(batch)
         params = state.params
         dim = model.cfg.emb_dim
         tokens = batch["tokens"]

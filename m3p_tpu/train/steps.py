@@ -43,6 +43,38 @@ Metrics = Dict[str, jax.Array]
 # ---------------------------------------------------------------------------
 
 
+def expand_compact_batch(batch: Batch) -> Batch:
+    """Materialize grid rows from a compact image batch on device.
+
+    Compact batches (`RetrievalDataset._grid_batch`) ship each group's unique
+    images once — ``raw_feats`` (G, U, R, D), ``locs`` (G, U, R, 5),
+    ``obj_labels`` (G, U, R), ``img_len`` (G, U) — plus a local gather map
+    ``img_index`` (G, n).  Rows are gathered per group (shard-local under
+    leading-axis batch sharding) and features are L2-normalized here instead
+    of on the host (`get_img_feature` semantics,
+    `dataset_finetune.py:559-593`), cutting host work and H2D traffic ~3x
+    for candidate grids.  Batches without ``img_index`` pass through
+    unchanged, so dense (synthetic/legacy) batches keep working."""
+    if "img_index" not in batch:
+        return batch
+    batch = dict(batch)
+    idx = batch.pop("img_index")                      # (G, n) local slots
+    g, n = idx.shape
+
+    def rows(pool):
+        gathered = jax.vmap(lambda p, i: p[i])(pool, idx)   # (G, n, ...)
+        return gathered.reshape((g * n,) + gathered.shape[2:])
+
+    raw = rows(batch["raw_feats"])                    # (B, R, D)
+    batch["raw_feats"] = raw
+    norm = jnp.linalg.norm(raw.astype(jnp.float32), axis=-1, keepdims=True)
+    batch["feats"] = (raw / jnp.maximum(norm, 1e-12)).astype(raw.dtype)
+    for k in ("locs", "obj_labels", "img_len"):
+        if k in batch:
+            batch[k] = rows(batch[k])
+    return batch
+
+
 def masked_ce(logits: jax.Array, labels: jax.Array,
               weights: jax.Array) -> jax.Array:
     """Mean CE over weighted slots (== reference mean-over-masked CE)."""
@@ -484,6 +516,8 @@ def make_train_step(
     transform computes its own norm regardless)."""
 
     def step(state, batch, rng, **kw):
+        batch = expand_compact_batch(batch)
+
         def compute(params):
             return loss_fn(params, batch, rng, **kw)
 

@@ -88,24 +88,67 @@ def test_clager(tmp_path):
 
 
 def test_retrieval_dataset_grid(tokenizer, store, captions):
+    from m3p_tpu.train.steps import expand_compact_batch
+
     ds = RetrievalDataset(captions, store, tokenizer, sample_n=3, max_len=16)
     t2i, i2t = next(ds.epoch_iterator(batch_size=2, epoch=0))
+    # compact grouped image pools: t2i ships each group's n candidates,
+    # i2t ships the shared anchor image once
+    assert t2i["raw_feats"].shape == (2, 3, 8, 2048)
+    assert i2t["raw_feats"].shape == (2, 1, 8, 2048)
+    np.testing.assert_array_equal(t2i["img_index"], [[0, 1, 2]] * 2)
+    np.testing.assert_array_equal(i2t["img_index"], np.zeros((2, 3)))
     for b in (t2i, i2t):
         assert b["tokens"].shape == (6, 16)
-        assert b["feats"].shape == (6, 8, 2048)
         assert b["pos_label"].shape == (2,)
         assert (b["pos_label"] < 3).all()
+        x = expand_compact_batch(b)
+        assert x["feats"].shape == (6, 8, 2048)
+        assert x["raw_feats"].shape == (6, 8, 2048)
+        assert x["img_len"].shape == (6,)
+        # device-side L2 normalization (get_img_feature semantics)
+        rows = np.linalg.norm(np.asarray(x["feats"]), axis=-1)
+        np.testing.assert_allclose(rows[np.asarray(x["img_len"]) > 0][:, 0],
+                                   1.0, atol=1e-4)
     # t2i: caption identical within a group, images differ
     assert (t2i["tokens"][0] == t2i["tokens"][1]).all()
-    # i2t: image identical within a group
-    np.testing.assert_array_equal(i2t["feats"][0], i2t["feats"][1])
+    # i2t: image identical within a group after expansion
+    x = expand_compact_batch(i2t)
+    np.testing.assert_array_equal(np.asarray(x["feats"][0]),
+                                  np.asarray(x["feats"][1]))
+
+
+def test_compact_batch_matches_store_get(tokenizer, store, captions):
+    """expand_compact_batch reproduces the dense store.get() row values."""
+    from m3p_tpu.train.steps import expand_compact_batch
+
+    ds = RetrievalDataset(captions, store, tokenizer, sample_n=2, max_len=16)
+    t2i, _ = next(ds.epoch_iterator(batch_size=2, epoch=0))
+    x = expand_compact_batch(t2i)
+    # reconstruct each row's store index from the pools and compare
+    for g in range(2):
+        for slot in range(2):
+            row = g * 2 + slot
+            raw_row = np.asarray(x["raw_feats"][row])
+            # find the matching image in the store by raw features
+            matches = [i for i in range(len(store))
+                       if np.allclose(store.get(i)["raw_feats"], raw_row)]
+            assert matches, "expanded row must equal a store image"
+            ref = store.get(matches[0])
+            np.testing.assert_allclose(np.asarray(x["feats"][row]),
+                                       ref["feats"], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(x["locs"][row]),
+                                       ref["locs"], atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(x["obj_labels"][row]),
+                                          ref["objects"])
+            assert int(x["img_len"][row]) == int(ref["mask"].sum())
 
 
 def test_pretrain_dataset_shards_and_clcm(tokenizer, store, captions):
     ds = PretrainDataset([store, store], [captions, captions], tokenizer,
                          sample_n=2, max_len=16)
     t2i, i2t = next(ds.epoch_iterator(batch_size=2, epoch=0, with_clcm=True))
-    assert "obj_labels" in t2i and t2i["obj_labels"].shape == (4, 8)
+    assert "obj_labels" in t2i and t2i["obj_labels"].shape == (2, 2, 8)
     assert "raw_feats" in t2i
     assert "clcm_tokens" in i2t and i2t["clcm_tokens"].shape[0] == 4
     assert set(np.unique(i2t["clcm_labels"])) <= {0, 1}
@@ -176,7 +219,9 @@ def test_grain_pipeline(tokenizer, store, captions):
     it = iter(loader)
     t2i, i2t = next(it)
     assert t2i["tokens"].shape == (6, 16)       # 3 groups x sample_n 2
-    assert t2i["feats"].shape == (6, 8, 2048)
+    assert t2i["raw_feats"].shape == (3, 2, 8, 2048)
+    assert t2i["img_index"].shape == (3, 2)
+    assert i2t["raw_feats"].shape == (3, 1, 8, 2048)
     assert t2i["pos_label"].shape == (3,)
     assert i2t["tokens"].shape == (6, 16)
 
