@@ -116,10 +116,11 @@ class RetrievalDataset:
             negatives = [self.image_ids[rng.randint(len(self.image_ids))]
                          for _ in range(n)]
             if direction == "t2i":
-                # same caption, candidate images
+                # same caption (tokenized once, rows repeated below),
+                # candidate images
+                texts.append(cap)
                 pool = []
                 for slot in range(n):
-                    texts.append(cap)
                     cand = img_id if slot == pos_label[gi] else negatives[slot]
                     pool.append(self.store.index_of(cand))
                 pools.append(pool)
@@ -137,6 +138,10 @@ class RetrievalDataset:
                 pools.append([self.store.index_of(img_id)])
         tokens, lengths, _ = _encode_padded(self.tokenizer, texts,
                                             self.max_len)
+        if direction == "t2i":
+            # one tokenized caption per group -> n identical grid rows
+            tokens = np.repeat(tokens, n, axis=0)
+            lengths = np.repeat(lengths, n, axis=0)
         batch = {
             "tokens": tokens,
             "text_len": lengths,

@@ -460,3 +460,68 @@ def test_loader_transforms_use_tokenizer_ids(tmp_path):
     assert int(b["enc_tokens"].max()) < vocab_size
     for eb in data.eval_data["mass_batches"]:
         assert int(eb["enc_tokens"].max()) < vocab_size
+
+
+def test_mild_end_to_end(tmp_path):
+    """MILD query-based retrieval from the CLI: per-language h5 routing,
+    qp_type text construction, R@k eval and the caption-eval variant
+    (`MILD_finetune.py:33-975`)."""
+    from m3p_tpu.cli.train_x import main
+    from m3p_tpu.data.features import write_feature_shard
+    from m3p_tpu.tokenization.unigram import train_unigram
+
+    vocab = str(tmp_path / "vocab.tsv")
+    train_unigram(["red cat dog runs blue tree house query passage"] * 30,
+                  vocab_size=90).save(vocab)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "mild"
+    root.mkdir()
+    n, r = 6, 4
+    for split in ("train", "test"):
+        write_feature_shard(
+            str(root / f"{split}.en.h5"),
+            features=rng.randn(n, r, 2048).astype(np.float32),
+            boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+            num_boxes=np.full(n, r, np.int64),
+            wh=np.full((n, 2), 100, np.float32),
+            image_ids=[f"{split}{k}" for k in range(n)],
+            objects=rng.randint(0, 1600, (n, r)),
+        )
+        # (query, passage) tuples per image (MILD_finetune.py:110-113)
+        queries = {f"{split}{k}": [("red cat query", "blue dog passage"),
+                                   ("tree house query", "cat runs passage")]
+                   for k in range(n)}
+        with open(root / f"{split}.en.pkl", "wb") as f:
+            pickle.dump(queries, f)
+    # caption-eval variant references
+    cap_refs = {f"test{k}": ["red cat runs", "blue dog tree"]
+                for k in range(n)}
+    with open(root / "test.caption.en.pkl", "wb") as f:
+        pickle.dump(cap_refs, f)
+
+    argv = [
+        "--data_path", str(tmp_path), "--vocab_path", vocab, "--lgs", "en",
+        "--is_mild", "True", "--cross_rel_steps", "mild-img",
+        "--mild_path", str(root), "--qp_type", "qp",
+        "--max_region_num", str(r),
+        "--sample_n", "2", "--batch_size", "2", "--max_len", "16",
+        "--emb_dim", "32", "--n_layers", "1", "--n_dec_layers", "1",
+        "--n_heads", "2", "--refine_layers", "1", "--dropout", "0.0",
+        "--attention_dropout", "0.0", "--fp16", "False",
+        "--epoch_size", "4", "--max_epoch", "1", "--beam_size", "1",
+        "--dump_path", str(tmp_path / "dump"), "--exp_name", "m",
+        "--exp_id", "1",
+    ]
+    main(argv)
+    dump = tmp_path / "dump" / "m" / "1"
+    assert (dump / "checkpoint").exists()
+    log = (dump / "train.log").read_text()
+    assert "__log__" in log
+    import json as _json
+    scores = _json.loads(log.rsplit("__log__:", 1)[1].splitlines()[0]
+                         .replace("'", '"'))
+    # retrieval R@k from the qp grids + the MILD caption-eval variant
+    assert any(k.endswith("i2t_r1") for k in scores), scores
+    assert any("cider" in k for k in scores), scores
+    for v in scores.values():
+        assert np.isfinite(v), scores

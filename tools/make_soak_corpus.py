@@ -135,6 +135,9 @@ def main(argv=None):
                       default=True)
     mode.add_argument("--random", dest="learnable", action="store_false")
     args = p.parse_args(argv)
+    if not 1 <= args.concepts_per_image <= len(CONCEPTS):
+        p.error(f"--concepts-per-image must be in [1, {len(CONCEPTS)}] "
+                "(the concept inventory size)")
 
     rng = np.random.RandomState(args.seed)
     dirs = _concept_directions(rng)
@@ -152,9 +155,8 @@ def main(argv=None):
             lines[lang].extend(cap_list)
         extra = args.stream_sentences - len(lines[lang])
         for _ in range(max(extra, 0)):
-            k = rng.choice(len(CONCEPTS), size=4, replace=False)
             lines[lang].append(" ".join(
-                _captions(rng, k, lang, learnable=False, n=1)))
+                _captions(rng, (), lang, learnable=False, n=1)))
         with open(os.path.join(args.out, f"corpus.{lang}.txt"), "w") as fh:
             fh.write("\n".join(lines[lang]) + "\n")
 
@@ -168,7 +170,8 @@ def main(argv=None):
         order_dir = os.path.join(args.out, "order")
         os.makedirs(order_dir, exist_ok=True)
         order = [[int(x) for x in
-                  np.random.RandomState(e).permutation(args.pretrain_shards)]
+                  np.random.RandomState(args.seed * 1000 + e)
+                  .permutation(args.pretrain_shards)]
                  for e in range(50)]
         with open(os.path.join(order_dir, "google_train_order.json"), "w") as fh:
             json.dump(order, fh)
