@@ -58,13 +58,22 @@ def _concept_directions(rng: np.random.RandomState) -> np.ndarray:
     return u / np.linalg.norm(u, axis=1, keepdims=True)
 
 
-def _image(rng, dirs, n_regions, k, learnable, signal=3.0, sigma=0.05):
-    """One image: (features (R, 2048), objects (R,), concept index list)."""
+def _image(rng, dirs, n_regions, k, learnable, signal=3.0, sigma=0.05,
+           signed=False):
+    """One image: (features (R, 2048), objects (R,), concept index list).
+
+    ``signed=False`` passes features through ``abs`` (ReLU-like, matching
+    real Faster-RCNN features — introduces a large shared positive
+    component, cross-concept cosine ~0.64); ``signed=True`` keeps the raw
+    signed directions (near-orthogonal concepts — a much easier corpus for
+    from-scratch models)."""
     concepts = rng.choice(len(CONCEPTS), size=k, replace=False)
     noise = rng.randn(n_regions, FEAT_DIM).astype(np.float32) * sigma
     if learnable:
         region_concepts = concepts[np.arange(n_regions) % k]
-        feats = np.abs(dirs[region_concepts] * signal + noise)
+        feats = dirs[region_concepts] * signal + noise
+        if not signed:
+            feats = np.abs(feats)
     else:
         region_concepts = rng.choice(len(CONCEPTS), size=n_regions)
         feats = np.abs(noise / sigma)  # pure noise, unit-ish scale
@@ -101,7 +110,9 @@ def write_split(root, name, n_images, rng, dirs, args, id_prefix):
     caps = {"en": {}, "de": {}}
     for i in range(n_images):
         f, o, concepts = _image(rng, dirs, args.regions,
-                                args.concepts_per_image, args.learnable)
+                                args.concepts_per_image, args.learnable,
+                                signal=args.signal, sigma=args.sigma,
+                                signed=args.signed)
         b, wh = _boxes(rng, args.regions)
         img_id = f"{id_prefix}{i}"
         feats.append(f); boxes.append(b); whs.append(wh)
@@ -125,6 +136,13 @@ def main(argv=None):
     p.add_argument("--test-images", type=int, default=150)
     p.add_argument("--regions", type=int, default=20)
     p.add_argument("--concepts-per-image", type=int, default=4)
+    p.add_argument("--signal", type=float, default=3.0,
+                   help="concept-direction magnitude in region features")
+    p.add_argument("--sigma", type=float, default=0.05,
+                   help="per-dim gaussian noise on region features")
+    p.add_argument("--signed", action="store_true",
+                   help="skip the abs(): near-orthogonal concept directions "
+                        "(easier for from-scratch models)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrain-shards", type=int, default=0,
                    help="also write N google/ pretrain shards + train_order")
