@@ -40,6 +40,27 @@ class Evaluator:
         self.mask_cfg = mask_cfg or MaskingConfig(
             n_words=cfg.model.n_words, mask_index=cfg.model.mask_index,
             max_pred=cfg.data.max_pred_per_seq)
+        self._decode_cache: Dict[Tuple, Any] = {}
+
+    def _jit_decoder(self, kind: str, beam_size: int, max_len: int,
+                     tgt_lang_id, length_penalty: float = 1.0):
+        """Jitted beam/greedy decode, cached per static config — unjitted
+        `lax.scan` re-traces the whole decode graph every batch."""
+        key = (kind, beam_size, max_len, tgt_lang_id, length_penalty)
+        if key not in self._decode_cache:
+            if kind == "beam":
+                def fn(params, src_enc, src_mask):
+                    return beam_search(
+                        self.model, params, src_enc, src_mask, beam_size,
+                        max_len, tgt_lang_id=tgt_lang_id,
+                        length_penalty=length_penalty)
+            else:
+                def fn(params, src_enc, src_mask):
+                    return greedy_generate(
+                        self.model, params, src_enc, src_mask, max_len,
+                        tgt_lang_id=tgt_lang_id)
+            self._decode_cache[key] = jax.jit(fn)
+        return self._decode_cache[key]
 
     # -- validation perplexities / accuracies ---------------------------
 
@@ -178,14 +199,12 @@ class Evaluator:
                 {"params": params}, feats, locs, img_mask, None, True,
                 method=self.model.encode_image)
             if beam_size > 1:
-                toks, lens = beam_search(
-                    self.model, params, src_enc, img_mask, beam_size,
-                    max_len, tgt_lang_id=tgt_lang_id,
-                    length_penalty=self.cfg.eval.length_penalty)
+                decode = self._jit_decoder(
+                    "beam", beam_size, max_len, tgt_lang_id,
+                    self.cfg.eval.length_penalty)
             else:
-                toks, lens = greedy_generate(
-                    self.model, params, src_enc, img_mask, max_len,
-                    tgt_lang_id=tgt_lang_id)
+                decode = self._jit_decoder("greedy", 1, max_len, tgt_lang_id)
+            toks, lens = decode(params, src_enc, img_mask)
             toks, lens = np.asarray(toks), np.asarray(lens)
             for i in range(toks.shape[0]):
                 hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))
@@ -222,14 +241,12 @@ class Evaluator:
                     jnp.asarray(b["src_langs"]) if "src_langs" in b else None,
                     method=self.model.encode_text)
             if beam_size > 1:
-                toks, lens = beam_search(
-                    self.model, params, src_enc, src_mask, beam_size,
-                    max_len, tgt_lang_id=tgt_lang_id,
-                    length_penalty=self.cfg.eval.length_penalty)
+                decode = self._jit_decoder(
+                    "beam", beam_size, max_len, tgt_lang_id,
+                    self.cfg.eval.length_penalty)
             else:
-                toks, lens = greedy_generate(
-                    self.model, params, src_enc, src_mask, max_len,
-                    tgt_lang_id=tgt_lang_id)
+                decode = self._jit_decoder("greedy", 1, max_len, tgt_lang_id)
+            toks, lens = decode(params, src_enc, src_mask)
             toks, lens = np.asarray(toks), np.asarray(lens)
             for i in range(toks.shape[0]):
                 hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))
