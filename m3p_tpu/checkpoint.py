@@ -72,6 +72,23 @@ def restore_checkpoint(path: str, state):
     return new_state, extra
 
 
+def load_params_checkpoint(path: str) -> Dict[str, Any]:
+    """Weights-only load from an Orbax checkpoint directory: returns the
+    ``params`` subtree as host numpy arrays, ignoring optimizer state/step.
+
+    This is the framework-native analogue of the reference's fine-tune
+    workflow — pretrain, then `--reload_model <pretrained>` into a fresh
+    optimizer (`train_x.py:394-521` passes the pretrained .pth as
+    `--reload_model`); here the pretrained artifact is our own checkpoint.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)      # saved structure, no template
+    return jax.tree.map(np.asarray, restored["params"])
+
+
 # ---------------------------------------------------------------------------
 # reference .pth import
 # ---------------------------------------------------------------------------

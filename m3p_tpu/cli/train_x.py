@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 from typing import Any, Dict
 
@@ -393,8 +394,15 @@ def main(argv=None) -> None:
 
     model, params = build_model(cfg.model, jax.random.PRNGKey(cfg.seed))
     if args.reload_model:
-        loaded = ckpt.load_reference_checkpoint(
-            args.reload_model, cfg.model.n_layers, cfg.model.refine_layers)
+        if os.path.isdir(args.reload_model):
+            # framework-native pretrained checkpoint: weights only, fresh
+            # optimizer (the reference fine-tune recipe passes its
+            # pretrained .pth here, `README.md:158-216`)
+            loaded = ckpt.load_params_checkpoint(args.reload_model)
+        else:
+            loaded = ckpt.load_reference_checkpoint(
+                args.reload_model, cfg.model.n_layers,
+                cfg.model.refine_layers)
         if args.multi_reload_model:
             # ensemble blend: 0.6 * primary + 0.4 * mean(secondaries)
             # (`model/__init__.py:107-123`)

@@ -102,7 +102,14 @@ class RetrievalDataset:
         """Build a compact grid batch for ``direction`` in {t2i, i2t}:
         tokens are grid-flattened (B = b * sample_n rows), image data is
         per-group pools + a local ``img_index`` gather map (t2i: U = n
-        candidate images, identity map; i2t: U = 1 shared anchor image)."""
+        candidate images, identity map; i2t: U = 1 shared anchor image).
+
+        The two directions therefore have different pool shapes and compile
+        as two XLA traces (dense batches compiled once for both).  This is
+        deliberate: padding i2t pools to U = n would restore one trace but
+        re-ship (n-1)/n zero bytes per i2t batch — the compile is a one-time
+        startup cost (and served by the compilation cache on reruns), the
+        H2D traffic is per-step forever."""
         n = self.sample_n
         b = len(anchor_ids)
         texts: List[str] = []

@@ -333,3 +333,39 @@ def test_fused_adam_state_checkpoint_roundtrip(tmp_path):
     s2 = restored.apply_gradients(grads=g)
     np.testing.assert_array_equal(np.asarray(s1.params["w"], np.float32),
                                   np.asarray(s2.params["w"], np.float32))
+
+
+def test_weights_only_reload(tmp_path):
+    """--reload_model with an Orbax checkpoint dir loads params only into a
+    fresh optimizer (the framework-native pretrain -> finetune workflow;
+    reference passes the pretrained .pth as --reload_model)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from m3p_tpu import checkpoint as ckpt
+    from m3p_tpu.train.state import create_train_state
+
+    rng = np.random.RandomState(0)
+    params = {"enc": {"w": jnp.asarray(rng.randn(6, 3), jnp.float32)},
+              "head": {"b": jnp.asarray(rng.randn(3), jnp.float32)}}
+    state = create_train_state(params, optax.adam(1e-3))
+    g = jax.tree.map(jnp.ones_like, params)
+    state = state.apply_gradients(grads=g)     # non-trivial opt state + step
+
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, state)
+
+    loaded = ckpt.load_params_checkpoint(path)
+    for k, sub in (("enc", "w"), ("head", "b")):
+        np.testing.assert_array_equal(np.asarray(state.params[k][sub]),
+                                      loaded[k][sub])
+    # partial-tree overlay: a finetune model with an extra head keeps it
+    init = dict(loaded)
+    init2 = {"enc": loaded["enc"],
+             "head": loaded["head"],
+             "new_head": {"w": jnp.zeros((3, 2))}}
+    merged = ckpt.merge_params(init2, loaded)
+    assert "new_head" in merged
+    np.testing.assert_array_equal(np.asarray(merged["enc"]["w"]),
+                                  loaded["enc"]["w"])
