@@ -164,10 +164,16 @@ def beam_search(
         vocab = logits.shape[-1]
         logprobs = jax.nn.log_softmax(logits, axis=-1)          # (BK, V)
         cand = logp[:, None] + logprobs                          # (BK, V)
-        cand = cand.reshape(b, k * vocab)
-        top_logp, top_idx = jax.lax.top_k(cand, 2 * k)           # (B, 2K)
-        beam_idx = top_idx // vocab                               # (B, 2K)
-        tok_idx = (top_idx % vocab).astype(jnp.int32)            # (B, 2K)
+        # exact two-stage top-2K: the global top-2K over the K*V candidate
+        # row is a subset of the union of per-beam top-2Ks, so sort V-long
+        # rows (BK of them) instead of one K*V-long row per batch entry —
+        # much friendlier to the TPU sort at 250k vocab
+        pb_logp, pb_idx = jax.lax.top_k(cand, 2 * k)             # (BK, 2K)
+        merged = pb_logp.reshape(b, k * 2 * k)                   # (B, K*2K)
+        top_logp, m_idx = jax.lax.top_k(merged, 2 * k)           # (B, 2K)
+        beam_idx = m_idx // (2 * k)                              # (B, 2K)
+        tok_idx = jnp.take_along_axis(
+            pb_idx.reshape(b, k * 2 * k), m_idx, axis=1).astype(jnp.int32)
         is_eos = tok_idx == eos_index
 
         # ---- finished pool update (EOS candidates) ----
