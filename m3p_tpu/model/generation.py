@@ -161,14 +161,21 @@ def beam_search(
                  if tgt_lang_id is not None else None)
         logits, cache = _decode_step(model, params, cur_tok, positions, langs,
                                      src_enc_k, src_mask_k, cache)
-        vocab = logits.shape[-1]
-        logprobs = jax.nn.log_softmax(logits, axis=-1)          # (BK, V)
-        cand = logp[:, None] + logprobs                          # (BK, V)
-        # exact two-stage top-2K: the global top-2K over the K*V candidate
-        # row is a subset of the union of per-beam top-2Ks, so sort V-long
+        # exact two-stage top-2K without materializing log_softmax over
+        # (BK, V): within a beam row the candidate ranking equals the raw
+        # logit ranking (logp and logsumexp are per-row constants), so
+        # top-k the logits directly and compute exact log-probs only for
+        # the 2K survivors.  The global top-2K over the K*V candidate row
+        # is a subset of the union of per-beam top-2Ks, so sort V-long
         # rows (BK of them) instead of one K*V-long row per batch entry —
-        # much friendlier to the TPU sort at 250k vocab
-        pb_logp, pb_idx = jax.lax.top_k(cand, 2 * k)             # (BK, 2K)
+        # much friendlier to the TPU sort at 250k vocab, and the only
+        # (BK, V) traversals left are the top_k read and the logsumexp
+        # reduction (no (BK, V) log-prob tensor is ever written).
+        pb_logit, pb_idx = jax.lax.top_k(logits, 2 * k)          # (BK, 2K)
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)                 # (BK,)
+        pb_logp = (logp[:, None] + pb_logit.astype(jnp.float32)
+                   - lse[:, None])                               # (BK, 2K)
         merged = pb_logp.reshape(b, k * 2 * k)                   # (B, K*2K)
         top_logp, m_idx = jax.lax.top_k(merged, 2 * k)           # (B, 2K)
         beam_idx = m_idx // (2 * k)                              # (B, 2K)
