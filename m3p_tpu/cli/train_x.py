@@ -39,7 +39,7 @@ def get_parser() -> argparse.ArgumentParser:
     reference dead code (--is_latent /--kld_alpha /--rec_alpha,
     --use_memory, --use_enc_att: the latent/GAN/memory paths are commented
     out or crash upstream; --english_only, --min_len, --retrieval_workers,
-    --refine_encoder, --max_vocab /--min_count: parser-only upstream too —
+    --max_vocab /--min_count: parser-only upstream too —
     the runtime vocab comes from the SentencePiece model, and the legacy
     Dictionary.read_vocab here does honor max_vocab/min_count),
     cosmetics (--retrieval_batch: only sizes a tqdm update upstream,
@@ -348,6 +348,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         adv_max_norm=args.adv_max_norm, norm_type=args.norm_type,
         free_text=args.free_text, free_img=args.free_img,
         refine_image=args.refine_image,
+        refine_encoder=args.refine_encoder,
         t2i_flag=args.t2i_flag, i2t_flag=args.i2t_flag,
         multi_cls_loss_weight=args.multi_cls_loss_weight,
         bin_cls_loss_weight=args.bin_cls_loss_weight,

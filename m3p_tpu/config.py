@@ -333,6 +333,10 @@ class TrainConfig:
     # AoA image refiner on/off per run (`params.refine_image`, every
     # reference step passes it into jointfwd/crossfwd)
     refine_image: bool = True
+    # second AoA refine AFTER the encoder stack on the image stream
+    # (`params.refine_encoder` -> `fwd` `transformer.py:869-870`; live in
+    # `ic_step` `xtrainer.py:1495` and FreeLB IC `:2741`)
+    refine_encoder: bool = False
     # train only one retrieval direction (`--t2i_flag/--i2t_flag`,
     # `xtrainer.py:1871-1877`)
     t2i_flag: bool = True

@@ -171,6 +171,7 @@ class M3PModel(nn.Module):
         refine_image: bool = False,
         deterministic: bool = True,
         feats_embeds: Optional[jax.Array] = None,
+        refine_encoder: bool = False,
     ) -> jax.Array:
         # image stream: no emb-LN, no positions (`transformer.py:1060-1066`)
         if feats_embeds is None:
@@ -181,6 +182,11 @@ class M3PModel(nn.Module):
         if refine_image:
             x = self.refiner(x, img_mask, deterministic=deterministic)
         x, _ = self._run_blocks(x, img_mask, deterministic=deterministic)
+        if refine_encoder:
+            # AoA refine AFTER the encoder stack — the reference's
+            # `refine_encoder` path (`transformer.py:869-870`, driven by
+            # `ic_step` `xtrainer.py:1495` and FreeLB IC `:2741`)
+            x = self.refiner(x, img_mask, deterministic=deterministic)
         return x
 
     def embed_image_regions(

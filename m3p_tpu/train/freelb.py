@@ -212,6 +212,7 @@ def make_freelb_ic_step(
     model,
     adv: FreeLBConfig,
     refine_image: bool = True,
+    refine_encoder: bool = False,
     state_shardings: Optional[Any] = None,
     donate: bool = True,
 ) -> Callable:
@@ -237,7 +238,7 @@ def make_freelb_ic_step(
             src_enc = model.apply(
                 {"params": params}, feats, batch["locs"], img_mask, None,
                 refine_image, method=model.encode_image,
-                rngs={"dropout": key})
+                rngs={"dropout": key}, refine_encoder=refine_encoder)
             token_embeds = None
             if adv.free_text:
                 token_embeds = model.apply(

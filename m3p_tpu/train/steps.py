@@ -343,16 +343,18 @@ def itm_finetune_loss(
 
 
 def caption_loss(model: M3PModel, params, batch: Batch, rng: jax.Array,
-                 refine_image: bool = True, deterministic: bool = False
-                 ) -> Tuple[jax.Array, Metrics]:
+                 refine_image: bool = True, deterministic: bool = False,
+                 refine_encoder: bool = False) -> Tuple[jax.Array, Metrics]:
     """Image captioning (`ic_step`): encode regions via the image stream,
-    decode the caption with cross-attention."""
+    decode the caption with cross-attention.  ``refine_encoder`` applies the
+    AoA refiner again AFTER the encoder stack (`transformer.py:869-870`,
+    passed by `ic_step` `xtrainer.py:1495`)."""
     r_enc, r_dec = jax.random.split(rng)
     img_mask = lengths_to_mask(batch["img_len"], batch["feats"].shape[1])
     src_enc = model.apply(
         {"params": params}, batch["feats"], batch["locs"], img_mask, None,
         refine_image, method=model.encode_image, rngs={"dropout": r_enc},
-        deterministic=deterministic)
+        deterministic=deterministic, refine_encoder=refine_encoder)
     tgt_mask = lengths_to_mask(batch["tgt_len"], batch["tokens"].shape[1])
     loss, m = seq2seq_ce(model, params, src_enc, img_mask, batch["tokens"],
                          tgt_mask, langs=batch.get("langs"),

@@ -168,7 +168,8 @@ class Trainer:
         elif kind == "ic":
             def loss_fn(p, b, key, **lam):
                 loss, m = S.caption_loss(model, p, b, key,
-                                         refine_image=cfg.refine_image)
+                                         refine_image=cfg.refine_image,
+                                         refine_encoder=cfg.refine_encoder)
                 return lam.get("lambda_ic", 1.0) * loss, m
         elif kind in ("mt", "ntg"):
             def loss_fn(p, b, key, **lam):
@@ -248,7 +249,9 @@ class Trainer:
                     state_shardings=self.state_shardings)
             else:
                 adv = make_freelb_ic_step(
-                    model, fl, state_shardings=self.state_shardings)
+                    model, fl, refine_image=cfg.refine_image,
+                    refine_encoder=cfg.refine_encoder,
+                    state_shardings=self.state_shardings)
 
             def combined(st, b, k, **lam):
                 st, m = step(st, b, k, **lam)

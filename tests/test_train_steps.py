@@ -102,6 +102,30 @@ def test_caption_step(setup):
     assert 0.0 <= float(metrics["acc"]) <= 1.0
 
 
+def test_caption_refine_encoder(setup):
+    """`refine_encoder` applies the AoA refiner again after the encoder
+    stack (`transformer.py:869-870`, `ic_step` `xtrainer.py:1495`) — it
+    must change the loss and stay trainable."""
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(3)
+    batch = _np_batch(synthetic.make_caption_batch(
+        rng, 4, cfg.data.max_len, cfg.data.max_region_num, cfg.model.n_words))
+    key = jax.random.PRNGKey(0)
+    base, _ = S.caption_loss(model, state.params, batch, key,
+                             refine_image=True, deterministic=True)
+    refined, _ = S.caption_loss(model, state.params, batch, key,
+                                refine_image=True, deterministic=True,
+                                refine_encoder=True)
+    assert np.isfinite(float(refined))
+    assert abs(float(base) - float(refined)) > 1e-6
+
+    step = S.make_train_step(
+        lambda p, b, k: S.caption_loss(model, p, b, k, refine_encoder=True),
+        donate=False)
+    state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics["ce"]))
+
+
 def test_mt_and_mt_caption_steps(setup):
     cfg, model, state, _ = setup
     rng = np.random.RandomState(4)
