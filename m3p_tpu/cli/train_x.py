@@ -38,7 +38,11 @@ def get_parser() -> argparse.ArgumentParser:
     --debug_slurm — JAX is single-controller; bf16 needs no loss scaling),
     reference dead code (--is_latent /--kld_alpha /--rec_alpha,
     --use_memory, --use_enc_att: the latent/GAN/memory paths are commented
-    out or crash upstream; --english_only, --min_len, --retrieval_workers,
+    out or crash upstream; --english_only /--attention_setting: read
+    upstream but only select among branches that all call the SAME plain
+    cross-attention — the per-language MHA constructions they would pick
+    between are commented out (`transformer.py:698-705`), so the flags are
+    runtime-inert; --min_len, --retrieval_workers,
     --max_vocab /--min_count: parser-only upstream too —
     the runtime vocab comes from the SentencePiece model, and the legacy
     Dictionary.read_vocab here does honor max_vocab/min_count),
