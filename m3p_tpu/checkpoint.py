@@ -43,7 +43,9 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None
                "step": state.step}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    if extra:
+    # the Orbax save above is COLLECTIVE in multi-host runs (every process
+    # must call it); the host-side extras file is written once
+    if extra and jax.process_index() == 0:
         import json
 
         with open(os.path.join(path, "extra.json"), "w") as f:

@@ -431,6 +431,13 @@ def main(argv=None) -> None:
         if cfg.data.batch_size % dp == 0:
             mesh = candidate
             logger.info("device mesh: %s", dict(mesh.shape))
+        elif jax.process_count() > 1:
+            # unsharded multi-host would train independent replicas per
+            # process and break collective checkpointing — refuse early
+            raise SystemExit(
+                f"multi-host run: batch_size {cfg.data.batch_size} must be "
+                f"divisible by data*fsdp={dp} (adjust --batch_size or "
+                "--mesh_*)")
         else:
             logger.warning(
                 "batch_size %d not divisible by data*fsdp=%d — running "

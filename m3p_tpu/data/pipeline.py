@@ -18,6 +18,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def stage_array(x, sharding):
+    """Stage one host array onto the device(s).
+
+    Single-host: a plain ``device_put`` (replicated or mesh-sharded).
+    Multi-host (``jax.process_count() > 1``): ``x`` is this process's LOCAL
+    shard of the global batch (the loaders shard data per process), so the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — a bare device_put of
+    per-process values would trip JAX's same-value-everywhere assertion
+    (and be semantically wrong).
+    """
+    if sharding is None:
+        return jnp.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(jnp.asarray(x), sharding)
+
+
 class DevicePrefetcher:
     """Wraps a numpy-batch iterator; yields device-resident batches."""
 
@@ -36,13 +55,7 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _stage(self, batch):
-        def put(x):
-            arr = jnp.asarray(x)
-            if self._sharding is not None:
-                arr = jax.device_put(arr, self._sharding)
-            return arr
-
-        return jax.tree.map(put, batch)
+        return jax.tree.map(lambda x: stage_array(x, self._sharding), batch)
 
     def _worker(self) -> None:
         try:

@@ -291,11 +291,20 @@ class Trainer:
                                                  supports_grain)
 
         dataset = self.datasets[task]
+        # multi-host: each process builds its slice of the GLOBAL batch;
+        # stage_array assembles them via make_array_from_process_local_data
+        # (the loaders shard records per process — grain ShardByJaxProcess,
+        # stream feeder subselect)
+        local_bs = self.cfg.data.batch_size
+        if jax.process_count() > 1 and self.batch_sharding is not None:
+            assert local_bs % jax.process_count() == 0, \
+                (local_bs, jax.process_count())
+            local_bs //= jax.process_count()
         if self.cfg.data.use_grain and supports_grain(dataset):
             # the production path: deterministic, process-sharded,
             # checkpointable (state saved in save_checkpoint)
             git = iter(make_grain_loader(
-                dataset, self.cfg.data.batch_size, seed=self.cfg.seed,
+                dataset, local_bs, seed=self.cfg.seed,
                 epoch=self.epoch, with_clcm=self._with_clcm()))
             self._grain_iterators[task] = git
             it = self._stage_iterator(git)
@@ -303,11 +312,10 @@ class Trainer:
             if self._with_clcm() and isinstance(dataset, PretrainDataset):
                 # CLCM concat-caption pairs ride the i2t pretrain batches
                 # (`sample_captions`, `dataset_pretrain.py:412-497`)
-                raw = dataset.epoch_iterator(self.cfg.data.batch_size,
+                raw = dataset.epoch_iterator(local_bs,
                                              self.epoch, with_clcm=True)
             else:
-                raw = dataset.epoch_iterator(self.cfg.data.batch_size,
-                                             self.epoch)
+                raw = dataset.epoch_iterator(local_bs, self.epoch)
             it = prefetch_to_device(raw, sharding=self.batch_sharding)
         self._iterators[task] = it
         return it
@@ -317,14 +325,11 @@ class Trainer:
         exact (a background prefetcher would run the state ahead of the
         batches actually consumed)."""
 
-        def put(x):
-            arr = jnp.asarray(x)
-            if self.batch_sharding is not None:
-                arr = jax.device_put(arr, self.batch_sharding)
-            return arr
+        from m3p_tpu.data.pipeline import stage_array
 
         for batch in it:
-            yield jax.tree.map(put, batch)
+            yield jax.tree.map(
+                lambda x: stage_array(x, self.batch_sharding), batch)
 
     # ------------------------------------------------------------------
     # the loop

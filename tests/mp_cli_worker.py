@@ -1,0 +1,46 @@
+"""Worker for the 2-process FULL-CLI multi-host test (test_multiprocess.py).
+
+Launched as:
+  python tests/mp_cli_worker.py <pid> <nproc> <port> <data_dir> <dump_dir> [--eval_only]
+
+Each process gets 4 virtual CPU devices; the CLI builds one global
+8-device mesh spanning both, per-process Grain shards assemble into
+global batches (`stage_array` / make_array_from_process_local_data),
+and the Orbax checkpoint save/restore is collective.
+"""
+
+import os
+import sys
+
+pid, nproc, port, data_dir, dump_dir = sys.argv[1:6]
+eval_only = "--eval_only" in sys.argv[6:]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4")
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = nproc
+os.environ["JAX_PROCESS_ID"] = pid
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+sys.argv = [
+    "train_x.py",
+    "--data_path", data_dir, "--vocab_path", f"{data_dir}/vocab.tsv",
+    "--lgs", "en", "--mlm_steps", "en",
+    "--cross_rel_steps", "coco-img", "--coco_path", f"{data_dir}/coco",
+    "--max_region_num", "6", "--sample_n", "2", "--batch_size", "8",
+    "--max_len", "12", "--bptt", "12", "--emb_dim", "32",
+    "--n_layers", "1", "--n_dec_layers", "1", "--n_heads", "2",
+    "--refine_layers", "1", "--dropout", "0.0",
+    "--attention_dropout", "0.0", "--fp16", "False",
+    "--epoch_size", "8", "--max_epoch", "1",
+    "--dump_path", dump_dir, "--exp_name", "mh", "--exp_id", "1",
+] + (["--eval_only", "True"] if eval_only else [])
+
+from m3p_tpu.cli.train_x import main  # noqa: E402
+
+main()

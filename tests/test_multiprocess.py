@@ -84,3 +84,73 @@ def test_two_process_distributed(tmp_path):
     # cross-process all-reduce over the global mesh: hosts contributed
     # 4x2 ones and 4x2 twos -> 8 + 16
     assert float(r0["total"]) == float(r1["total"]) == 24.0
+
+
+@pytest.mark.slow
+def test_two_process_full_cli(tmp_path):
+    """The FULL CLI as a 2-process multi-host job: global 8-device mesh,
+    per-process Grain shards assembled into global batches, COLLECTIVE
+    Orbax checkpoint save, then a 2-process --eval_only resume that must
+    reproduce the scores byte-identically on both hosts."""
+    import pickle
+    import subprocess as sp
+
+    from m3p_tpu.data.features import write_feature_shard
+    from m3p_tpu.tokenization.unigram import train_unigram
+
+    data = tmp_path / "data"
+    (data / "coco").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    words = ["red", "cat", "dog", "tree", "house", "runs", "blue", "small"]
+    corpus = [" ".join(rng.choice(words, 6)) for _ in range(400)]
+    train_unigram(corpus, vocab_size=90).save(str(data / "vocab.tsv"))
+    n, r = 24, 6
+    for split in ("train", "test"):
+        write_feature_shard(
+            str(data / "coco" / f"{split}.h5"),
+            features=rng.randn(n, r, 2048).astype(np.float32),
+            boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+            num_boxes=np.full(n, r, np.int64),
+            wh=np.full((n, 2), 100, np.float32),
+            image_ids=[f"{split}{k}" for k in range(n)])
+        caps = {f"{split}{k}": [" ".join(rng.choice(words, 4))
+                                for _ in range(2)] for k in range(n)}
+        with open(data / "coco" / f"{split}.en.pkl", "wb") as f:
+            pickle.dump(caps, f)
+    # binarized mono stream for the mlm task
+    from m3p_tpu.cli.preprocess import main as preprocess_main
+
+    (data / "corpus.txt").write_text("\n".join(corpus))
+    preprocess_main(["binarize", str(data / "corpus.txt"),
+                     "--vocab", str(data / "vocab.tsv"),
+                     "--out", str(data / "train.en.npy")])
+    (data / "valid.en.npy").write_bytes(
+        (data / "train.en.npy").read_bytes())
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "mp_cli_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                        "JAX_PROCESS_ID")}
+
+    def run(extra):
+        port = _free_port()
+        procs = [sp.Popen(
+            [sys.executable, worker, str(i), "2", str(port),
+             str(data), str(tmp_path / "dump")] + extra,
+            env=env, stdout=sp.PIPE, stderr=sp.STDOUT, text=True)
+            for i in range(2)]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+
+    run([])                 # train 1 epoch + eval + collective save
+    log = (tmp_path / "dump" / "mh" / "1" / "train.log").read_text()
+    assert "saved checkpoint checkpoint" in log
+    first = log.rsplit("__log__:", 1)[1].splitlines()[0]
+
+    run(["--eval_only"])    # collective restore on both processes
+    log2 = (tmp_path / "dump" / "mh" / "1" / "train.log").read_text()
+    assert "resumed from" in log2
+    assert log2.rsplit("__log__:", 1)[1].splitlines()[0] == first
