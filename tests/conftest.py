@@ -25,3 +25,8 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) == 8, devices
     return devices
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (multi-process CLI)")
