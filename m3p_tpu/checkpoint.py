@@ -44,12 +44,23 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     # the Orbax save above is COLLECTIVE in multi-host runs (every process
-    # must call it); the host-side extras file is written once
-    if extra and jax.process_index() == 0:
+    # must call it).  Host-side extras: the shared fields are written once
+    # (process 0); the Grain loader state is RANK-SPECIFIC (iterators are
+    # ShardByJaxProcess-sharded), so each process persists its own file and
+    # restores from it.
+    if extra:
         import json
 
-        with open(os.path.join(path, "extra.json"), "w") as f:
-            json.dump(extra, f, default=str)
+        extra = dict(extra)
+        loader_state = extra.pop("loader_state", None)
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "extra.json"), "w") as f:
+                json.dump(extra, f, default=str)
+        if loader_state:
+            rank_file = os.path.join(
+                path, f"loader_state.{jax.process_index()}.json")
+            with open(rank_file, "w") as f:
+                json.dump(loader_state, f, default=str)
 
 
 def restore_checkpoint(path: str, state):
@@ -71,6 +82,14 @@ def restore_checkpoint(path: str, state):
 
         with open(extra_path) as f:
             extra = json.load(f)
+    # rank-specific Grain loader state (see save_checkpoint)
+    rank_file = os.path.join(
+        path, f"loader_state.{jax.process_index()}.json")
+    if os.path.exists(rank_file):
+        import json
+
+        with open(rank_file) as f:
+            extra["loader_state"] = json.load(f)
     return new_state, extra
 
 

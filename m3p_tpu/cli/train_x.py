@@ -428,6 +428,14 @@ def main(argv=None) -> None:
     if len(jax.devices()) > 1:
         candidate = make_mesh(cfg.mesh)
         dp = candidate.shape["data"] * candidate.shape["fsdp"]
+        if jax.process_count() > 1 and dp % jax.process_count() != 0:
+            # the batch axis must span the processes: per-process loader
+            # shards are assembled along ("data","fsdp"), so those axes
+            # need to divide evenly across hosts (a dp=1 pure-TP mesh
+            # would replicate the batch while feeding different data)
+            raise SystemExit(
+                f"multi-host run: data*fsdp={dp} must be a multiple of "
+                f"process_count={jax.process_count()} (adjust --mesh_*)")
         if cfg.data.batch_size % dp == 0:
             mesh = candidate
             logger.info("device mesh: %s", dict(mesh.shape))

@@ -195,8 +195,12 @@ class Evaluator:
             locs = jnp.asarray(b["locs"])
             img_mask = lengths_to_mask(jnp.asarray(b["img_len"]),
                                        feats.shape[1])
+            # reference eval honors params.refine_image but never applies
+            # refine_encoder (`xevaluator.py:845-1044` — a train/eval
+            # asymmetry mirrored deliberately)
             src_enc = self.model.apply(
-                {"params": params}, feats, locs, img_mask, None, True,
+                {"params": params}, feats, locs, img_mask, None,
+                getattr(self.cfg, "refine_image", True),
                 method=self.model.encode_image)
             if beam_size > 1:
                 decode = self._jit_decoder(

@@ -208,7 +208,10 @@ class Trainer:
                     return lam.get("lambda_ae", 1.0) * loss, m
             else:  # bart_img: IDA region-denoising captioning
                 def loss_fn(p, b, key, **lam):
-                    loss, m = S.caption_loss(model, p, b, key)
+                    # reference bart_img_step passes params.refine_image
+                    # (`xtrainer.py:1789`)
+                    loss, m = S.caption_loss(
+                        model, p, b, key, refine_image=cfg.refine_image)
                     return lam.get("lambda_ida", 1.0) * loss, m
         elif kind == "tifg":
             def loss_fn(p, b, key, **lam):
@@ -239,6 +242,7 @@ class Trainer:
             if kind == "rel":
                 adv0 = make_freelb_itm_step(
                     model, cfg.data.sample_n, fl,
+                    refine_image=cfg.refine_image,
                     state_shardings=self.state_shardings)
 
                 def adv(st, b, k, **lam):
@@ -246,6 +250,7 @@ class Trainer:
             elif kind == "pretrain_rel":
                 adv = make_freelb_pretrain_step(
                     model, cfg.data.sample_n, self.mask_cfg, fl,
+                    refine_image=cfg.refine_image,
                     state_shardings=self.state_shardings)
             else:
                 adv = make_freelb_ic_step(
@@ -316,6 +321,19 @@ class Trainer:
                                              self.epoch, with_clcm=True)
             else:
                 raw = dataset.epoch_iterator(local_bs, self.epoch)
+            if (jax.process_count() > 1 and self.batch_sharding is not None
+                    and getattr(dataset, "n_feeders", 1) <= 1):
+                # non-grain iterators are seeded identically on every
+                # process — interleave batches so each process contributes
+                # DISTINCT local slices to the assembled global batch
+                # (without this, every sample appears process_count times).
+                # Datasets already feeder-sharded (--split_data streams,
+                # per-feeder pretrain shards) are skipped: their records
+                # are disjoint per process by construction.
+                import itertools
+
+                raw = itertools.islice(raw, jax.process_index(), None,
+                                       jax.process_count())
             it = prefetch_to_device(raw, sharding=self.batch_sharding)
         self._iterators[task] = it
         return it

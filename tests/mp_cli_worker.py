@@ -12,20 +12,12 @@ and the Orbax checkpoint save/restore is collective.
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import mp_env  # noqa: E402
+
 pid, nproc, port, data_dir, dump_dir = sys.argv[1:6]
 eval_only = "--eval_only" in sys.argv[6:]
-
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4")
-os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
-os.environ["JAX_NUM_PROCESSES"] = nproc
-os.environ["JAX_PROCESS_ID"] = pid
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+mp_env.setup(pid, nproc, port)
 
 sys.argv = [
     "train_x.py",

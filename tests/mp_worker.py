@@ -21,23 +21,17 @@ actual multi-host wiring of the framework, not the in-process simulation of
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import mp_env  # noqa: E402
+
 pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
 outdir = sys.argv[4]
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
-)
-os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
-os.environ["JAX_NUM_PROCESSES"] = str(nproc)
-os.environ["JAX_PROCESS_ID"] = str(pid)
+mp_env.setup(pid, nproc, port)
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
