@@ -1,0 +1,107 @@
+"""Request micro-batching.
+
+Concurrent callers submit single items; a worker thread coalesces them into
+batches of up to ``max_batch`` items (waiting at most ``max_wait_s`` after the
+first item arrives) and runs the whole batch through one handler call.  On a
+TPU this is the difference between B=1 dispatches that starve the MXU and
+full-bucket batches — the serving-side analogue of the training pipeline's
+prefetcher.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, List, Sequence
+
+logger = logging.getLogger("m3p_tpu")
+
+
+class MicroBatcher:
+    """Coalesce single-item submissions into batched handler calls.
+
+    ``handler(items) -> results`` must return one result per item, in order.
+    A handler exception fails every future in that batch (callers see the
+    original exception); the worker keeps serving subsequent batches.
+    """
+
+    def __init__(self, handler: Callable[[List[Any]], Sequence[Any]],
+                 max_batch: int = 64, max_wait_s: float = 0.005,
+                 name: str = "batcher"):
+        assert max_batch >= 1
+        self._handler = handler
+        self._max_batch = max_batch
+        self._max_wait_s = max_wait_s
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stopped = threading.Event()
+        self._thread = threading.Thread(target=self._loop, name=name,
+                                        daemon=True)
+        self._thread.start()
+
+    def submit(self, item: Any) -> Future:
+        if self._stopped.is_set():
+            raise RuntimeError("MicroBatcher is stopped")
+        fut: Future = Future()
+        self._queue.put((item, fut))
+        return fut
+
+    def __call__(self, item: Any, timeout: float = None) -> Any:
+        """Submit and block for the result."""
+        return self.submit(item).result(timeout=timeout)
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._stopped.set()
+        self._queue.put(None)  # wake the worker
+        self._thread.join(timeout=timeout)
+
+    # -- worker ----------------------------------------------------------
+
+    def _collect(self) -> List:
+        """Block for the first item, then drain up to max_batch within the
+        wait window."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        while len(batch) < self._max_batch:
+            try:
+                nxt = self._queue.get(timeout=self._max_wait_s)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stopped.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            items = [it for it, _ in batch]
+            futures = [f for _, f in batch]
+            try:
+                results = self._handler(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"handler returned {len(results)} results for "
+                        f"{len(items)} items")
+            except Exception as e:  # noqa: BLE001 — fail the batch, keep serving
+                logger.exception("micro-batch handler failed")
+                for f in futures:
+                    if not f.cancelled():
+                        f.set_exception(e)
+                continue
+            for f, r in zip(futures, results):
+                if not f.cancelled():
+                    f.set_result(r)
+        # drain: fail anything still queued after stop
+        while True:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if entry is not None:
+                entry[1].set_exception(RuntimeError("MicroBatcher stopped"))

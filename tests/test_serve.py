@@ -1,0 +1,259 @@
+"""Serving stack: engine bucketing/padding invariance, micro-batcher,
+HTTP endpoints."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from m3p_tpu.config import ModelConfig
+from m3p_tpu.data.features import write_feature_shard
+from m3p_tpu.model import build_model
+from m3p_tpu.serve.batcher import MicroBatcher
+from m3p_tpu.serve.engine import InferenceEngine, _bucket
+from m3p_tpu.serve.server import make_server
+from m3p_tpu.tokenization.tokenizer import XLMRTokenizer
+from m3p_tpu.tokenization.unigram import train_unigram
+
+CORPUS = [
+    "a dog runs on the beach",
+    "two cats sleep on the sofa",
+    "a man rides a bicycle",
+    "the quick brown fox jumps",
+    "a red car on the street",
+] * 5
+
+R = 4       # regions
+D = 2048    # feature dim (model default)
+
+
+def _image(rng):
+    return {"feats": rng.randn(R, D).astype(np.float32),
+            "locs": rng.rand(R, 5).astype(np.float32)}
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("serve_tok") / "unigram.tsv")
+    train_unigram(CORPUS, vocab_size=150).save(path)
+    tok = XLMRTokenizer(path)
+    cfg = ModelConfig(
+        n_words=tok.vocab_size, mask_index=tok.mask_token_id, n_langs=3,
+        emb_dim=32, n_layers=2, n_dec_layers=2, n_heads=2, dropout=0.0,
+        attention_dropout=0.0, max_region_num=R, refine_layers=1,
+        dtype="float32", use_pallas_attention=False)
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    return InferenceEngine(
+        model, params, tokenizer=tok, max_regions=R,
+        text_buckets=(8, 16), batch_buckets=(1, 2, 4),
+        beam_size=2, max_gen_len=6, lang2id={"en": 0, "de": 1})
+
+
+def test_bucket_helper():
+    assert _bucket(1, (1, 2, 4)) == 1
+    assert _bucket(3, (1, 2, 4)) == 4
+    assert _bucket(9, (1, 2, 4)) == 4  # capped at the largest
+
+
+def test_score_padding_invariance(engine):
+    """A pair's score must not depend on which bucket/batch it rides in."""
+    rng = np.random.RandomState(0)
+    img = _image(rng)
+    text = "a dog runs on the beach"
+    solo = engine.score([text], [img])[0]
+    others = [_image(rng) for _ in range(2)]
+    batched = engine.score(
+        [text, "two cats sleep", "a man rides"], [img] + others)[0]
+    assert abs(solo - batched) < 1e-4
+    # long text lands in a different bucket but is deterministic
+    long_text = " ".join(["very"] * 40)
+    s1 = engine.score([long_text], [img])[0]
+    s2 = engine.score([long_text], [img])[0]
+    assert s1 == s2
+
+
+def test_jit_cache_bounded(engine):
+    """Steady-state traffic must reuse compiled entry points."""
+    rng = np.random.RandomState(1)
+    before = len(engine._jit_cache)
+    for _ in range(5):
+        engine.score(["a dog"], [_image(rng)])
+    after = len(engine._jit_cache)
+    assert after <= before + 1
+
+
+def test_retrieve_matches_pairwise_score(engine):
+    rng = np.random.RandomState(2)
+    gallery = [_image(rng) for _ in range(5)]
+    ids = [f"img{i}" for i in range(5)]
+    assert engine.load_gallery(gallery, ids) == 5
+    text = "the quick brown fox jumps"
+    results = engine.retrieve(text, top_k=5)
+    assert [r["id"] for r in results[:1]]  # non-empty, best first
+    scores = {r["id"]: r["score"] for r in results}
+    # pairwise scores through the score() path must agree
+    direct = engine.score([text] * 5, gallery)
+    for i, s in enumerate(direct):
+        assert abs(scores[f"img{i}"] - s) < 1e-4
+    # ordering is by score descending
+    vals = [r["score"] for r in results]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_caption_and_translate(engine):
+    rng = np.random.RandomState(3)
+    caps = engine.caption([_image(rng), _image(rng)], lang="en")
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+    greedy = engine.caption([_image(rng)], beam_size=1)
+    assert len(greedy) == 1
+    out = engine.translate(["a dog runs"], tgt_lang="de", src_lang="en")
+    assert len(out) == 1 and isinstance(out[0], str)
+    with pytest.raises(ValueError):
+        engine.translate(["x"], tgt_lang="xx")
+
+
+def test_image_payload_boxes_wh(engine):
+    rng = np.random.RandomState(4)
+    boxes = np.array([[0, 0, 50, 50], [10, 10, 90, 80]], np.float32)
+    payload = {"features": rng.randn(2, D).astype(np.float32),
+               "boxes": boxes, "wh": [100.0, 100.0]}
+    feats, locs, n = engine.resolve_image(payload)
+    assert feats.shape == (R, D) and locs.shape == (R, 5) and n == 2
+    # features L2-normalized, padding rows zero
+    assert np.allclose(np.linalg.norm(feats[:2], axis=-1), 1.0, atol=1e-5)
+    assert np.all(feats[2:] == 0)
+
+
+def test_store_image_id(engine, tmp_path):
+    rng = np.random.RandomState(5)
+    n = 3
+    path = str(tmp_path / "feats.h5")
+    write_feature_shard(
+        path, features=rng.randn(n, R, D).astype(np.float32),
+        boxes=np.tile(np.array([[0, 0, 10, 10]], np.float32), (n, R, 1)),
+        num_boxes=np.full((n,), R, np.int64),
+        wh=np.tile(np.array([[20, 20]], np.float32), (n, 1)),
+        image_ids=[f"im{i}" for i in range(n)])
+    engine.attach_store(path)
+    s = engine.score(["a dog"], [{"image_id": "im1"}])
+    assert len(s) == 1 and np.isfinite(s[0])
+    assert engine.load_gallery_from_store(limit=2) == 2
+    engine._gallery = None  # don't leak into other tests
+
+
+# ---------------------------------------------------------------------------
+# micro-batcher
+# ---------------------------------------------------------------------------
+
+
+def test_microbatcher_coalesces_and_orders():
+    calls = []
+
+    def handler(items):
+        calls.append(len(items))
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(handler, max_batch=8, max_wait_s=0.05)
+    futs = [mb.submit(i) for i in range(10)]
+    results = [f.result(timeout=5) for f in futs]
+    assert results == [i * 2 for i in range(10)]
+    assert max(calls) > 1  # at least one call actually batched
+    mb.stop()
+
+
+def test_microbatcher_error_propagates():
+    def handler(items):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(handler, max_batch=4, max_wait_s=0.01)
+    fut = mb.submit(1)
+    with pytest.raises(RuntimeError, match="boom"):
+        fut.result(timeout=5)
+    # the worker survives a failed batch
+    mb._handler = lambda items: items
+    assert mb.submit(7).result(timeout=5) == 7
+    mb.stop()
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+# ---------------------------------------------------------------------------
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_endpoints(engine):
+    rng = np.random.RandomState(6)
+    server, app = make_server(engine, host="127.0.0.1", port=0,
+                              max_batch=4, max_wait_s=0.01)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        img = _image(rng)
+        pair = {"text": "a dog runs",
+                "feats": img["feats"].tolist(),
+                "locs": img["locs"].tolist()}
+        status, out = _post(port, "/v1/score", {"pairs": [pair]})
+        assert status == 200 and len(out["scores"]) == 1
+
+        # concurrent single-pair requests ride the micro-batcher
+        results = {}
+
+        def hit(i):
+            results[i] = _post(port, "/v1/score", {"pairs": [pair]})
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        vals = [results[i][1]["scores"][0] for i in range(4)]
+        assert all(abs(v - vals[0]) < 1e-4 for v in vals)
+
+        engine.load_gallery([_image(rng) for _ in range(3)],
+                            ["a", "b", "c"])
+        status, out = _post(port, "/v1/retrieve",
+                            {"text": "two cats", "top_k": 2})
+        assert status == 200 and len(out["results"]) == 2
+
+        status, out = _post(port, "/v1/caption",
+                            {"images": [{"feats": img["feats"].tolist(),
+                                         "locs": img["locs"].tolist()}],
+                             "beam_size": 1, "max_len": 5})
+        assert status == 200 and len(out["captions"]) == 1
+
+        status, out = _post(port, "/v1/translate",
+                            {"texts": ["a dog"], "tgt_lang": "de",
+                             "src_lang": "en", "beam_size": 1, "max_len": 5})
+        assert status == 200 and len(out["translations"]) == 1
+
+        status, out = _post(port, "/v1/nope", {})
+        assert status == 404
+        status, out = _post(port, "/v1/score", {"wrong": []})
+        assert status == 400 and "error" in out
+    finally:
+        server.shutdown()
+        server.server_close()
+        app.close()
+        engine._gallery = None
