@@ -43,6 +43,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="bfloat16",
                    help="activation dtype (bfloat16 on TPU; float32 for "
                         "CPU debugging)")
+    p.add_argument("--quant", type=str, default="none",
+                   help="'int8' = frozen-weight int8 serving: weights "
+                        "quantize once at load, GEMMs ride the int8 MXU "
+                        "(same checkpoint; small score perturbation)")
     # data / gallery
     p.add_argument("--features_path", type=str, default="",
                    help="h5 region-feature shard for image_id payloads")
@@ -93,7 +97,7 @@ def main(argv=None) -> None:
         max_region_num=args.max_region_num,
         refine_layers=args.refine_layers, dtype=args.dtype)
     engine = InferenceEngine.from_checkpoint(
-        args.reload_model, cfg, tokenizer=tokenizer,
+        args.reload_model, cfg, tokenizer=tokenizer, quant=args.quant,
         refine_image=args.refine_image, beam_size=args.beam_size,
         max_gen_len=args.max_gen_len, length_penalty=args.length_penalty,
         lang2id=lang2id)

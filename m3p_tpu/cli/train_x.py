@@ -179,6 +179,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--retrieval_workers", type=int, default=4)
     p.add_argument("--test_splits", type=int, default=8)
     p.add_argument("--coco_method", type=str, default="Bleu,CIDEr")
+    p.add_argument("--eval_quant", type=str, default="none",
+                   help="'int8' = frozen-weight int8 generation evals "
+                        "(weights quantize once per eval; beam decode rides "
+                        "the int8 MXU — TPU-native, no reference flag)")
     p.add_argument("--use_new_fea", type=bool_flag, default=False)
 
     # debug fixtures (`loader.py:374-375`, `dataset_pretrain.py:213-214`)
@@ -303,7 +307,8 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
                     early_stopping=args.early_stopping,
                     test_splits=args.test_splits,
                     eval_n=args.eval_n, eval_images=args.eval_images,
-                    coco_method=args.coco_method, eval_path=args.eval_path)
+                    coco_method=args.coco_method, eval_path=args.eval_path,
+                    quant=args.eval_quant)
     return TrainConfig(
         exp_name=args.exp_name, exp_id=args.exp_id, dump_path=args.dump_path,
         model=model, optim=optim, mesh=mesh, data=data, eval=ev,

@@ -239,6 +239,11 @@ class EvalConfig:
     # artifact dir: retrieval score-matrix .npy + inference.log R@k lines
     # (`--eval_path`, `xevaluator.py:258-259,1616-1619`); empty = no dumps
     eval_path: str = ""
+    # "int8": frozen-weight int8 generation evals — weights quantize once
+    # per eval (model.capture_q8); beam/greedy decode rides the int8 MXU
+    # (the 250k-vocab head GEMM measured 1.1-1.9x, tools/bench_prequant.py).
+    # No reference equivalent (TPU-native inference mode).
+    quant: str = "none"
 
 
 @dataclass

@@ -25,7 +25,7 @@ from m3p_tpu.eval.bleu import corpus_bleu
 from m3p_tpu.eval.cider import cider_score
 from m3p_tpu.eval.retrieval import recall_at_k, retrieval_grid_scores
 from m3p_tpu.model.generation import beam_search, greedy_generate
-from m3p_tpu.model.transformer import lengths_to_mask
+from m3p_tpu.model.transformer import as_variables, lengths_to_mask
 from m3p_tpu.train import steps as S
 
 logger = logging.getLogger("m3p_tpu")
@@ -41,6 +41,28 @@ class Evaluator:
             n_words=cfg.model.n_words, mask_index=cfg.model.mask_index,
             max_pred=cfg.data.max_pred_per_seq)
         self._decode_cache: Dict[Tuple, Any] = {}
+        # --eval_quant int8: generation evals decode through the
+        # frozen-weight int8 model (weights quantize once per eval via
+        # capture_q8; loss/grid evals keep the exact bf16 path)
+        self.gen_model = model
+        if getattr(getattr(cfg, "eval", None), "quant", "none") == "int8":
+            from m3p_tpu.model import quantized_inference_model
+
+            self.gen_model = quantized_inference_model(cfg.model)
+        self._q8_cache: Tuple[int, Any] = (0, None)
+
+    def _gen_variables(self, params):
+        """Variables dict for the generation model: adds the one-time
+        quantized weight tables when --eval_quant int8 is active (cached per
+        params object — recaptured after each training epoch)."""
+        if self.gen_model is self.model:
+            return params
+        key = id(jax.tree.leaves(params)[0])
+        if self._q8_cache[0] != key:
+            from m3p_tpu.model import capture_q8
+
+            self._q8_cache = (key, capture_q8(self.gen_model, params))
+        return {"params": params, "q8": self._q8_cache[1]}
 
     def _jit_decoder(self, kind: str, beam_size: int, max_len: int,
                      tgt_lang_id, length_penalty: float = 1.0):
@@ -51,13 +73,14 @@ class Evaluator:
             if kind == "beam":
                 def fn(params, src_enc, src_mask):
                     return beam_search(
-                        self.model, params, src_enc, src_mask, beam_size,
+                        self.gen_model, params, src_enc, src_mask, beam_size,
                         max_len, tgt_lang_id=tgt_lang_id,
-                        length_penalty=length_penalty)
+                        length_penalty=length_penalty,
+                        early_stopping=self.cfg.eval.early_stopping)
             else:
                 def fn(params, src_enc, src_mask):
                     return greedy_generate(
-                        self.model, params, src_enc, src_mask, max_len,
+                        self.gen_model, params, src_enc, src_mask, max_len,
                         tgt_lang_id=tgt_lang_id)
             self._decode_cache[key] = jax.jit(fn)
         return self._decode_cache[key]
@@ -190,6 +213,7 @@ class Evaluator:
         beam_size = beam_size or self.cfg.eval.beam_size
         max_len = max_len or self.cfg.eval.max_gen_len
         hyps: List[str] = []
+        gvars = self._gen_variables(params)
         for b in batches:
             feats = jnp.asarray(b["feats"])
             locs = jnp.asarray(b["locs"])
@@ -198,17 +222,17 @@ class Evaluator:
             # reference eval honors params.refine_image but never applies
             # refine_encoder (`xevaluator.py:845-1044` — a train/eval
             # asymmetry mirrored deliberately)
-            src_enc = self.model.apply(
-                {"params": params}, feats, locs, img_mask, None,
+            src_enc = self.gen_model.apply(
+                as_variables(gvars), feats, locs, img_mask, None,
                 getattr(self.cfg, "refine_image", True),
-                method=self.model.encode_image)
+                method=self.gen_model.encode_image)
             if beam_size > 1:
                 decode = self._jit_decoder(
                     "beam", beam_size, max_len, tgt_lang_id,
                     self.cfg.eval.length_penalty)
             else:
                 decode = self._jit_decoder("greedy", 1, max_len, tgt_lang_id)
-            toks, lens = decode(params, src_enc, img_mask)
+            toks, lens = decode(gvars, src_enc, img_mask)
             toks, lens = np.asarray(toks), np.asarray(lens)
             for i in range(toks.shape[0]):
                 hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))
@@ -223,6 +247,7 @@ class Evaluator:
         beam_size = beam_size or self.cfg.eval.beam_size
         max_len = max_len or self.cfg.eval.max_gen_len
         hyps: List[str] = []
+        gvars = self._gen_variables(params)
         for b in batches:
             src = jnp.asarray(b["src_tokens"])
             src_mask = lengths_to_mask(jnp.asarray(b["src_len"]),
@@ -233,24 +258,24 @@ class Evaluator:
                 feats = jnp.asarray(b["feats"])
                 img_mask = lengths_to_mask(jnp.asarray(b["img_len"]),
                                            feats.shape[1])
-                src_enc = self.model.apply(
-                    {"params": params}, src, src_mask, feats,
+                src_enc = self.gen_model.apply(
+                    as_variables(gvars), src, src_mask, feats,
                     jnp.asarray(b["locs"]), img_mask,
                     getattr(self.cfg, "refine_image", True),
-                    method=self.model.encode_joint)
+                    method=self.gen_model.encode_joint)
                 src_mask = jnp.concatenate([img_mask, src_mask], axis=1)
             else:
-                src_enc, _ = self.model.apply(
-                    {"params": params}, src, src_mask,
+                src_enc, _ = self.gen_model.apply(
+                    as_variables(gvars), src, src_mask,
                     jnp.asarray(b["src_langs"]) if "src_langs" in b else None,
-                    method=self.model.encode_text)
+                    method=self.gen_model.encode_text)
             if beam_size > 1:
                 decode = self._jit_decoder(
                     "beam", beam_size, max_len, tgt_lang_id,
                     self.cfg.eval.length_penalty)
             else:
                 decode = self._jit_decoder("greedy", 1, max_len, tgt_lang_id)
-            toks, lens = decode(params, src_enc, src_mask)
+            toks, lens = decode(gvars, src_enc, src_mask)
             toks, lens = np.asarray(toks), np.asarray(lens)
             for i in range(toks.shape[0]):
                 hyps.append(tokenizer.decode(toks[i, 1:lens[i]]))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from m3p_tpu.model.transformer import lengths_to_mask
+from m3p_tpu.model.transformer import as_variables, lengths_to_mask
 
 
 # module-level jit keyed on the (hashable) flax module config so repeated
@@ -42,9 +42,9 @@ def _score_chunk(model, params, cap_tokens, cap_len, img_feats, img_locs,
     ilen = jnp.take(img_len, img_idx, axis=0)
     text_mask = lengths_to_mask(text_len, tokens.shape[1])
     img_mask = lengths_to_mask(ilen, feats.shape[1])
-    hidden = model.apply({"params": params}, tokens, text_mask, feats, locs,
+    hidden = model.apply(as_variables(params), tokens, text_mask, feats, locs,
                          img_mask, refine_image, method=model.encode_joint)
-    scores = model.apply({"params": params}, hidden, method=model.itm_score)
+    scores = model.apply(as_variables(params), hidden, method=model.itm_score)
     return scores[:, 0].astype(jnp.float32)
 
 

@@ -68,3 +68,33 @@ def _init_method(model: M3PModel, tokens, text_mask, feats, locs, img_mask,
 
 def param_count(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def capture_q8(model: M3PModel, params) -> Dict[str, Any]:
+    """One-time weight quantization for frozen-weight int8 inference.
+
+    For a model built with ``ffn_quant="int8_infer"`` (and/or
+    ``head_quant="int8_infer"``), runs one tiny compiled pass that quantizes
+    every eligible GEMM weight (fused self-attn QKV, attention out
+    projections, FFN kernels, the tied vocab table) into a "q8" variable
+    collection.  Inference then applies with
+    ``{"params": params, "q8": q8}`` (every inference entry point accepts the
+    full variables dict via ``as_variables``) and pays only per-activation
+    quantization in the hot loop — the weight HBM reads halve and the GEMMs
+    ride the int8 MXU.  Training measured per-step weight quantization as a
+    dead-end (STATUS.md); this exists because inference weights are frozen.
+    """
+    run = jax.jit(lambda p: model.apply(
+        {"params": p}, method=model.capture_q8_pass, mutable=["q8"])[1]["q8"])
+    return run(params)
+
+
+def quantized_inference_model(cfg: ModelConfig) -> M3PModel:
+    """The int8-inference variant of a model config: same parameter
+    structure/naming (checkpoint-compatible), GEMMs routed through the
+    frozen-weight int8 path (pair with ``capture_q8``)."""
+    import dataclasses
+
+    return M3PModel(dataclasses.replace(
+        cfg, ffn_quant="int8_infer",
+        head_quant="int8_infer" if not cfg.asm else cfg.head_quant))

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from m3p_tpu.config import EOS_IDX, PAD_IDX
+from m3p_tpu.model.transformer import as_variables
 
 NEG_INF = -1.0e7
 
@@ -33,9 +34,9 @@ def _decode_step(model, params, tokens, positions, langs, src_enc, src_mask,
     b = tokens.shape[0]
     step_mask = jnp.ones((b, 1), bool)
     hidden, cache = model.apply(
-        {"params": params}, tokens, step_mask, langs, positions, True,
+        as_variables(params), tokens, step_mask, langs, positions, True,
         src_enc, src_mask, cache, True, method=model.encode_text)
-    logits = model.apply({"params": params}, hidden[:, 0],
+    logits = model.apply(as_variables(params), hidden[:, 0],
                          method=model.word_logits)
     return logits.astype(jnp.float32), cache
 
@@ -57,7 +58,7 @@ def greedy_generate(
     Returns (tokens (B, max_len), lengths (B,)).  tokens[:, 0] == EOS
     (the reference's EOS-as-BOS start convention)."""
     b = src_enc.shape[0]
-    cache = model.apply({"params": params}, src_enc, max_len,
+    cache = model.apply(as_variables(params), src_enc, max_len,
                         method=model.init_decode_cache)
     init_tokens = jnp.full((b, 1), eos_index, jnp.int32)
 
@@ -123,6 +124,7 @@ def beam_search(
     tgt_lang_id: Optional[int] = None,
     length_penalty: float = 1.0,
     early_stopping: bool = False,
+    fast_topk: bool = False,
     eos_index: int = EOS_IDX,
     pad_index: int = PAD_IDX,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -131,6 +133,11 @@ def beam_search(
 
     Scoring matches the reference: finished hypotheses are ranked by
     sum-logp / len^alpha where len counts generated tokens incl. final EOS.
+
+    ``fast_topk`` selects per-beam candidates with the TPU-native
+    ``lax.approx_max_k`` (recall 0.99/element) instead of the exact sort —
+    the per-step top-2K over the 250k vocab is the dominant non-GEMM cost
+    of a beam step; survivor log-probs stay exact (logsumexp unchanged).
     """
     b = src_enc.shape[0]
     k = beam_size
@@ -140,7 +147,7 @@ def beam_search(
     src_enc_k = jnp.repeat(src_enc, k, axis=0)
     src_mask_k = jnp.repeat(src_mask, k, axis=0)
 
-    cache = model.apply({"params": params}, src_enc_k, max_len,
+    cache = model.apply(as_variables(params), src_enc_k, max_len,
                         method=model.init_decode_cache)
 
     # beam 0 active, others -inf so step 1 picks distinct continuations
@@ -171,7 +178,12 @@ def beam_search(
         # much friendlier to the TPU sort at 250k vocab, and the only
         # (BK, V) traversals left are the top_k read and the logsumexp
         # reduction (no (BK, V) log-prob tensor is ever written).
-        pb_logit, pb_idx = jax.lax.top_k(logits, 2 * k)          # (BK, 2K)
+        if fast_topk:
+            pb_logit, pb_idx = jax.lax.approx_max_k(
+                logits, 2 * k, recall_target=0.99,
+                aggregate_to_topk=True)                          # (BK, 2K)
+        else:
+            pb_logit, pb_idx = jax.lax.top_k(logits, 2 * k)      # (BK, 2K)
         lse = jax.scipy.special.logsumexp(
             logits.astype(jnp.float32), axis=-1)                 # (BK,)
         pb_logp = (logp[:, None] + pb_logit.astype(jnp.float32)

@@ -91,7 +91,40 @@ class PredLayer(nn.Module):
             "bias",
             nn.with_logical_partitioning(nn.initializers.zeros_init(), ("vocab",)),
             (self.n_words,), self.param_dtype)
-        if self.quant == "int8_bwd":
+        use_q8 = False
+        if self.quant == "int8_infer" and not self.is_initializing():
+            # frozen-weight int8 (inference): the (V, D) table quantizes ONCE
+            # into the "q8" collection.  Unlike the FFN/attention GEMMs the
+            # vocab head wins at EVERY shape (v5e, tools/bench_prequant.py:
+            # 1.11x at decode's M=320, 1.90x at M=83968 — V=250k makes the
+            # GEMM large enough that the int8 MXU rate dominates and the
+            # activation-quantize pass amortizes), so no M gate here.
+            from m3p_tpu.ops.quant import (
+                int8_matmul_nt_pre, prequantize_nt)
+
+            x2d = x.reshape(-1, x.shape[-1])
+            if embedding is None:
+                kernel = self.param(
+                    "kernel",
+                    nn.with_logical_partitioning(
+                        nn.initializers.lecun_normal(), ("embed", "vocab")),
+                    (self.dim, self.n_words), self.param_dtype)
+                embedding = kernel.T
+            table = embedding.astype(self.dtype)
+            if (self.is_mutable_collection("q8")
+                    and not self.has_variable("q8", "emb_wq")):
+                wq, sw = prequantize_nt(table)
+                self.put_variable("q8", "emb_wq", wq)
+                self.put_variable("q8", "emb_sw", sw)
+            use_q8 = self.has_variable("q8", "emb_wq")
+            if use_q8:
+                logits = int8_matmul_nt_pre(
+                    x2d.astype(self.dtype), self.get_variable("q8", "emb_wq"),
+                    self.get_variable("q8", "emb_sw"))
+                logits = logits.reshape(*x.shape[:-1], self.n_words)
+        if use_q8:
+            pass
+        elif self.quant == "int8_bwd":
             from m3p_tpu.ops.quant import int8_matmul, int8_matmul_nt
 
             x2d = x.reshape(-1, x.shape[-1])

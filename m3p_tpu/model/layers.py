@@ -108,6 +108,65 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(b, s, 3 * d) + bias
         return jnp.split(out, 3, axis=-1)
 
+    def _q8(self, name: str, kernel: jax.Array):
+        """Frozen-weight int8 (inference): first pass with a mutable "q8"
+        collection quantizes ``kernel`` once and stores it; later applies
+        that provide the collection read it back.  Returns (wq, sw) or None
+        (no collection anywhere -> caller falls back to dynamic quant)."""
+        from m3p_tpu.ops.quant import prequantize_nn
+
+        if (self.is_mutable_collection("q8")
+                and not self.has_variable("q8", name + "_wq")):
+            wq, sw = prequantize_nn(kernel)
+            self.put_variable("q8", name + "_wq", wq)
+            self.put_variable("q8", name + "_sw", sw)
+        if self.has_variable("q8", name + "_wq"):
+            return (self.get_variable("q8", name + "_wq"),
+                    self.get_variable("q8", name + "_sw"))
+        return None
+
+    def _fused_qkv_infer(self, x):
+        """int8_infer self-attention projections: one GEMM against the
+        pre-quantized concatenated (D, 3D) kernel; None if no q8 collection
+        is available (caller falls back to the plain projections)."""
+        from m3p_tpu.ops.quant import int8_matmul_pre
+
+        p = lambda m: m.variables["params"]  # noqa: E731
+        kernel = jnp.concatenate(
+            [p(self.q_lin)["kernel"], p(self.k_lin)["kernel"],
+             p(self.v_lin)["kernel"]], axis=1).astype(self.dtype)
+        q8 = self._q8("qkv", kernel)
+        if q8 is None:
+            return None
+        bias = jnp.concatenate(
+            [p(self.q_lin)["bias"], p(self.k_lin)["bias"],
+             p(self.v_lin)["bias"]]).astype(self.dtype)
+        b, s, d = x.shape
+        x2d = x.reshape(-1, d).astype(self.dtype)
+        out = int8_matmul_pre(x2d, *q8)
+        out = out.reshape(b, s, 3 * d) + bias
+        return jnp.split(out, 3, axis=-1)
+
+    def _project_out(self, merged: jax.Array) -> jax.Array:
+        """Output projection; int8_infer routes skinny (weight-HBM-bound)
+        shapes through the pre-quantized kernel — decode steps — and leaves
+        compute-bound shapes on the plain bf16 GEMM (ops/quant.py)."""
+        from m3p_tpu.ops.quant import PREQUANT_MAX_M, int8_matmul_pre
+
+        m = 1
+        for d in merged.shape[:-1]:
+            m *= int(d)
+        if self.quant != "int8_infer" or self.is_initializing():
+            return self.out_lin(merged)
+        kernel = self.out_lin.variables["params"]["kernel"].astype(self.dtype)
+        q8 = self._q8("out", kernel)
+        if q8 is None or m > PREQUANT_MAX_M:
+            return self.out_lin(merged)
+        bias = self.out_lin.variables["params"]["bias"].astype(self.dtype)
+        x2d = merged.reshape(-1, merged.shape[-1]).astype(self.dtype)
+        y = int8_matmul_pre(x2d, *q8)
+        return y.reshape(*merged.shape[:-1], -1) + bias
+
     def __call__(
         self,
         x: jax.Array,                       # (B, Sq, D)
@@ -122,9 +181,20 @@ class MultiHeadAttention(nn.Module):
         # measured end-to-end on v5e at 789 vs 792 samples/s — neutral; XLA
         # already folds the head permutation into adjacent fusions at these
         # shapes, so the simpler single-layout formulation is kept.
-        if (self.quant == "int8_bwd" and kv is None and cache is None
-                and not self.is_initializing()):
-            qp, kp, vp = self._fused_int8_qkv(x)
+        from m3p_tpu.ops.quant import PREQUANT_MAX_M
+
+        use_fused_qkv = (kv is None and cache is None
+                         and not self.is_initializing()
+                         and (self.quant == "int8_bwd"
+                              or (self.quant == "int8_infer"
+                                  and x.shape[0] * x.shape[1]
+                                  <= PREQUANT_MAX_M)))
+        fused = None
+        if use_fused_qkv:
+            fused = (self._fused_qkv_infer(x) if self.quant == "int8_infer"
+                     else self._fused_int8_qkv(x))
+        if fused is not None:
+            qp, kp, vp = fused
             q, k, v = self._split(qp), self._split(kp), self._split(vp)
         else:
             q = self._split(self.q_lin(x))
@@ -165,7 +235,7 @@ class MultiHeadAttention(nn.Module):
 
             ctx = ring_attention(q, k, v, kv_mask, self.seq_axis,
                                  causal=causal)
-            return self.out_lin(self._merge(ctx)), new_cache
+            return self._project_out(self._merge(ctx)), new_cache
 
         use_dropout = (not deterministic) and self.dropout > 0.0
         if use_dropout:
@@ -191,7 +261,7 @@ class MultiHeadAttention(nn.Module):
             ctx = attention(q, k, v, kv_mask, causal=causal,
                             use_pallas=self.use_pallas)
 
-        out = self.out_lin(self._merge(ctx))
+        out = self._project_out(self._merge(ctx))
         return out, new_cache
 
 
@@ -205,10 +275,14 @@ class QuantDense(nn.Module):
     logical_axes: tuple = ("embed", "mlp")
 
     quant_bwd: bool = False   # int8 dgrad/wgrad as well
+    prequant: bool = False    # frozen-weight inference: weights quantized
+                              # once into the "q8" collection (see
+                              # `m3p_tpu.ops.quant.int8_matmul_pre`)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from m3p_tpu.ops.quant import int8_matmul, int8_matmul_qbwd
+        from m3p_tpu.ops.quant import (
+            int8_matmul, int8_matmul_pre, int8_matmul_qbwd, prequantize_nn)
 
         kernel = self.param(
             "kernel",
@@ -222,7 +296,25 @@ class QuantDense(nn.Module):
             (self.features,), self.param_dtype)
         xc = x.astype(self.dtype)
         kc = kernel.astype(self.dtype)
-        if self.quant_bwd:
+        if self.prequant and not self.is_initializing():
+            from m3p_tpu.ops.quant import PREQUANT_MAX_M
+
+            m = 1
+            for d in xc.shape[:-1]:
+                m *= int(d)
+            if (self.is_mutable_collection("q8")
+                    and not self.has_variable("q8", "wq")):
+                wq, sw = prequantize_nn(kc)
+                self.put_variable("q8", "wq", wq)
+                self.put_variable("q8", "sw", sw)
+            if self.has_variable("q8", "wq") and m <= PREQUANT_MAX_M:
+                y = int8_matmul_pre(xc, self.get_variable("q8", "wq"),
+                                    self.get_variable("q8", "sw"))
+            else:
+                # compute-bound shape (or no q8 provided): plain bf16 GEMM —
+                # int8 measured neutral-to-worse here (ops/quant.py)
+                y = jnp.einsum("...k,kn->...n", xc, kc)
+        elif self.quant_bwd:
             x2d = xc.reshape(-1, xc.shape[-1])
             y = int8_matmul_qbwd(x2d, kc).reshape(*xc.shape[:-1],
                                                   self.features)
@@ -249,12 +341,13 @@ class TransformerFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  skip_dropout: bool = False) -> jax.Array:
-        if self.quant in ("int8", "int8_bwd", "int8_all"):
+        if self.quant in ("int8", "int8_bwd", "int8_all", "int8_infer"):
             qb = self.quant in ("int8_bwd", "int8_all")
+            pre = self.quant == "int8_infer"
             lin1 = QuantDense(self.hidden_dim, self.dtype, self.param_dtype,
-                              ("embed", "mlp"), qb, name="lin1")
+                              ("embed", "mlp"), qb, pre, name="lin1")
             lin2 = QuantDense(self.dim, self.dtype, self.param_dtype,
-                              ("mlp", "embed"), qb, name="lin2")
+                              ("mlp", "embed"), qb, pre, name="lin2")
         else:
             lin1 = _dense(self.hidden_dim, self.dtype, self.param_dtype,
                           "lin1", ("embed", "mlp"))
@@ -376,7 +469,9 @@ class EncoderBlock(nn.Module):
     moe_capacity_factor: float = 2.0
 
     def setup(self) -> None:
-        attn_quant = "int8_bwd" if self.ffn_quant == "int8_all" else "none"
+        attn_quant = ("int8_bwd" if self.ffn_quant == "int8_all"
+                      else "int8_infer" if self.ffn_quant == "int8_infer"
+                      else "none")
         kw = dict(n_heads=self.n_heads, dim=self.dim, dtype=self.dtype,
                   param_dtype=self.param_dtype, use_pallas=self.use_pallas,
                   dropout=self.attention_dropout, seq_axis=self.seq_axis,

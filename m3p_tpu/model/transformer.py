@@ -41,6 +41,15 @@ def lengths_to_mask(lengths: jax.Array, max_len: int) -> jax.Array:
     return jnp.arange(max_len)[None, :] < lengths[:, None]
 
 
+def as_variables(params):
+    """Accept either a bare params tree or a full variables dict (e.g.
+    ``{"params": ..., "q8": ...}`` for frozen-weight int8 inference) at any
+    inference entry point; ``model.apply`` needs the latter."""
+    if isinstance(params, dict) and "params" in params:
+        return params
+    return {"params": params}
+
+
 class M3PModel(nn.Module):
     cfg: ModelConfig
 
@@ -369,6 +378,30 @@ class M3PModel(nn.Module):
             v = attn._split(attn.v_lin(src_enc))
             cache[f"layer_{i}"]["cross"] = {"k": k, "v": v}
         return cache
+
+    def capture_q8_pass(self):
+        """Touch every ``int8_infer``-quantizable GEMM once on dummy inputs so
+        an apply with ``mutable=["q8"]`` captures all frozen-weight int8
+        tables in one pass (`m3p_tpu.model.capture_q8`).  The dummy shapes are
+        tiny — the work is the one-time weight quantization itself."""
+        cfg = self.cfg
+        b, s, r = 1, 2, 1
+        tokens = jnp.zeros((b, s), jnp.int32)
+        tmask = jnp.ones((b, s), bool)
+        feats = jnp.zeros((b, r, cfg.img_feat_dim), jnp.float32)
+        locs = jnp.zeros((b, r, cfg.img_loc_dim), jnp.float32)
+        imask = jnp.ones((b, r), bool)
+        # encoder path: fused self-attn QKV + out projections, FFN GEMMs
+        hidden = self.encode_joint(tokens, tmask, feats, locs, imask, False)
+        # vocab head: the tied (V, D) table
+        _ = self.word_logits(hidden[:, 0])
+        # decoder path: cross-attention out projection (a distinct module)
+        cache = self.init_decode_cache(hidden, 2)
+        smask = jnp.ones((b, hidden.shape[1]), bool)
+        _ = self.encode_text(tokens[:, :1], jnp.ones((b, 1), bool), None,
+                             jnp.zeros((b, 1), jnp.int32), True, hidden,
+                             smask, cache, True)
+        return ()
 
     def __call__(self, tokens, text_mask, feats, locs, img_mask,
                  deterministic: bool = True):

@@ -161,3 +161,57 @@ def _nt_bwd(res, g):
 
 
 int8_matmul_nt.defvjp(_nt_fwd, _nt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# frozen-weight (pre-quantized) inference variants: at inference the weights
+# never change, so their quantization hoists OUT of the hot loop entirely —
+# the hot path pays only the activation quantization, the int8 MXU GEMM
+# (2x bf16 on v5e) reads HALF the weight HBM bytes.  Training measured
+# per-step weight quantization as a dead-end for attention/vocab-head GEMMs
+# (STATUS.md); these exist because eval/serving don't pay that cost.
+# Inference-only: no custom_vjp.
+# ---------------------------------------------------------------------------
+
+
+# Engage pre-quantized GEMMs only below this (static) row count.  Measured
+# on v5e (tools/bench_prequant.py): at eval-grid shapes (M=83968) int8 is
+# neutral-to-worse (ffn1 1.11x, qkv 1.00x, ffn2 0.74x — the activation
+# quantize/dequant HBM passes eat the MXU gain on compute-bound GEMMs);
+# at decode shapes (M=320, weight-HBM-bound) it wins modestly (head 1.11x)
+# and halves the weight bytes read.  Above the threshold the int8_infer
+# modules fall back to the plain bf16 GEMM, so the mode never regresses.
+PREQUANT_MAX_M = 2048
+
+
+def prequantize_nn(w: jax.Array):
+    """One-time weight quantization for ``int8_matmul_pre``: w (K, N) ->
+    (int8 (K, N), f32 scale (1, N))."""
+    return _quantize_cols(w)
+
+
+def prequantize_nt(w: jax.Array):
+    """One-time weight quantization for ``int8_matmul_nt_pre``: w (V, K) ->
+    (int8 (V, K), f32 scale (V, 1))."""
+    return _quantize_axis(w, 1)
+
+
+def int8_matmul_pre(x: jax.Array, wq: jax.Array, sw: jax.Array) -> jax.Array:
+    """x (..., K) @ dequant(wq (K, N), sw (1, N)); per-row dynamic activation
+    quantization.  Bit-identical to ``int8_matmul(x, w)`` for the same w."""
+    xq, sx = _quantize_rows(x)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * sw).astype(x.dtype)
+
+
+def int8_matmul_nt_pre(x: jax.Array, wq: jax.Array,
+                       sw: jax.Array) -> jax.Array:
+    """x (M, K) @ dequant(wq (V, K), sw (V, 1))^T -> (M, V).  Bit-identical
+    to ``int8_matmul_nt(x, w)`` for the same w (the tied vocab head: the
+    (V, K) int8 table halves the dominant HBM read of every decode step)."""
+    xq, sx = _quantize_axis(x, 1)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * sw.T).astype(x.dtype)

@@ -27,6 +27,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from m3p_tpu.config import EOS_IDX, PAD_IDX
+from m3p_tpu.model.transformer import as_variables
 
 logger = logging.getLogger("m3p_tpu")
 
@@ -62,6 +63,15 @@ class InferenceEngine:
 
         self.model = model
         self.params = jax.tree.map(jnp.asarray, params)
+        # frozen-weight int8: quantize the GEMM weights ONCE at load when the
+        # model was built in int8_infer mode (`model.quantized_inference_model`)
+        self.variables = {"params": self.params}
+        if "int8_infer" in (getattr(model.cfg, "ffn_quant", "none"),
+                            getattr(model.cfg, "head_quant", "none")):
+            from m3p_tpu.model import capture_q8
+
+            self.variables["q8"] = capture_q8(model, self.params)
+            logger.info("serve: frozen-weight int8 tables captured")
         self.tokenizer = tokenizer
         self.feat_dim = int(getattr(getattr(model, "cfg", None),
                                     "img_feat_dim", 2048))
@@ -82,13 +92,17 @@ class InferenceEngine:
 
     @classmethod
     def from_checkpoint(cls, path: str, model_cfg, tokenizer=None,
-                        **kw) -> "InferenceEngine":
+                        quant: str = "none", **kw) -> "InferenceEngine":
         """Load weights from an Orbax checkpoint dir or a reference ``.pth``
-        (auto-detected), backfilling any missing keys from a fresh init."""
+        (auto-detected), backfilling any missing keys from a fresh init.
+
+        ``quant="int8"`` serves through the frozen-weight int8 path: weights
+        quantize once at load, GEMMs ride the int8 MXU (same checkpoint —
+        the parameter tree is unchanged)."""
         import jax
 
         from m3p_tpu import checkpoint as C
-        from m3p_tpu.model import build_model
+        from m3p_tpu.model import build_model, quantized_inference_model
 
         model, params = build_model(model_cfg, jax.random.PRNGKey(0))
         if path.endswith((".pth", ".pt")):
@@ -98,6 +112,10 @@ class InferenceEngine:
         else:
             loaded = C.load_params_checkpoint(path)
         params = C.merge_params(params, loaded)
+        if quant == "int8":
+            model = quantized_inference_model(model_cfg)
+        elif quant != "none":
+            raise ValueError(f"unknown quant mode {quant!r}")
         return cls(model, params, tokenizer=tokenizer,
                    max_regions=model_cfg.max_region_num, **kw)
 
@@ -205,10 +223,10 @@ class InferenceEngine:
                 text_mask = lengths_to_mask(text_len, tokens.shape[1])
                 img_mask = lengths_to_mask(img_len, feats.shape[1])
                 hidden = self.model.apply(
-                    {"params": params}, tokens, text_mask, feats, locs,
+                    as_variables(params), tokens, text_mask, feats, locs,
                     img_mask, self.refine_image,
                     method=self.model.encode_joint)
-                scores = self.model.apply({"params": params}, hidden,
+                scores = self.model.apply(as_variables(params), hidden,
                                           method=self.model.itm_score)
                 return scores[:, 0].astype(jnp.float32)
 
@@ -224,7 +242,7 @@ class InferenceEngine:
             def fn(params, feats, locs, img_len):
                 img_mask = lengths_to_mask(img_len, feats.shape[1])
                 src_enc = self.model.apply(
-                    {"params": params}, feats, locs, img_mask, None,
+                    as_variables(params), feats, locs, img_mask, None,
                     self.refine_image, method=self.model.encode_image)
                 if beam_size > 1:
                     return beam_search(self.model, params, src_enc, img_mask,
@@ -247,7 +265,7 @@ class InferenceEngine:
             def fn(params, tokens, text_len, src_langs):
                 src_mask = lengths_to_mask(text_len, tokens.shape[1])
                 src_enc, _ = self.model.apply(
-                    {"params": params}, tokens, src_mask,
+                    as_variables(params), tokens, src_mask,
                     src_langs if has_src_langs else None,
                     method=self.model.encode_text)
                 if beam_size > 1:
@@ -290,7 +308,7 @@ class InferenceEngine:
             for i, (f, l, n) in enumerate(resolved):
                 feats[i], locs[i], img_len[i] = f, l, n
             fn = self._jitted(("score", sb, sl), self._score_fn())
-            s = fn(self.params, jnp.asarray(toks), jnp.asarray(tl),
+            s = fn(self.variables, jnp.asarray(toks), jnp.asarray(tl),
                    jnp.asarray(feats), jnp.asarray(locs),
                    jnp.asarray(img_len))
             out.extend(np.asarray(s)[: len(t)].tolist())
@@ -341,7 +359,7 @@ class InferenceEngine:
             pad = chunk - idx.size
             gi = np.concatenate([idx, np.zeros(pad, np.int64)])
             fn = self._jitted(("retrieve", chunk, sl), self._retrieve_fn())
-            s = fn(self.params, jnp.asarray(tokens), jnp.asarray(lengths),
+            s = fn(self.variables, jnp.asarray(tokens), jnp.asarray(lengths),
                    g["feats"], g["locs"], g["len"],
                    jnp.asarray(gi, jnp.int32))
             pending.append((idx, s))
@@ -367,10 +385,10 @@ class InferenceEngine:
                 text_mask = lengths_to_mask(tl, toks.shape[1])
                 img_mask = lengths_to_mask(il, feats.shape[1])
                 hidden = self.model.apply(
-                    {"params": params}, toks, text_mask, feats, locs,
+                    as_variables(params), toks, text_mask, feats, locs,
                     img_mask, self.refine_image,
                     method=self.model.encode_joint)
-                scores = self.model.apply({"params": params}, hidden,
+                scores = self.model.apply(as_variables(params), hidden,
                                           method=self.model.itm_score)
                 return scores[:, 0].astype(jnp.float32)
 
@@ -404,7 +422,7 @@ class InferenceEngine:
                 feats[i], locs[i], img_len[i] = f, l, max(n, 1)
             fn = self._jitted(("caption", sb, beam_size, max_len, lang_id),
                               self._caption_fn(beam_size, max_len, lang_id))
-            toks, lens = fn(self.params, jnp.asarray(feats),
+            toks, lens = fn(self.variables, jnp.asarray(feats),
                             jnp.asarray(locs), jnp.asarray(img_len))
             toks, lens = np.asarray(toks), np.asarray(lens)
             for i in range(len(im)):
@@ -442,7 +460,7 @@ class InferenceEngine:
                  src_lang is not None),
                 self._translate_fn(beam_size, max_len, tgt_id,
                                    src_lang is not None))
-            otoks, olens = fn(self.params, jnp.asarray(toks),
+            otoks, olens = fn(self.variables, jnp.asarray(toks),
                               jnp.asarray(tl), jnp.asarray(lg))
             otoks, olens = np.asarray(otoks), np.asarray(olens)
             for i in range(len(t)):
@@ -461,7 +479,7 @@ class InferenceEngine:
         sl = text_len or self.text_buckets[0]
         fn = self._jitted(("score", sb, sl), self._score_fn())
         d = self.feat_dim
-        _ = fn(self.params,
+        _ = fn(self.variables,
                jnp.full((sb, sl), PAD_IDX, jnp.int32),
                jnp.full((sb,), 2, jnp.int32),
                jnp.zeros((sb, self.max_regions, d), jnp.float32),

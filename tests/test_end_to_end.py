@@ -156,3 +156,26 @@ def test_trainer_task_sampling(world):
     sizes = {i: len(datasets[key]) for i, (_, key) in enumerate(tasks)}
     big = max(sizes, key=sizes.get)
     assert probs[big] == max(probs.values())
+
+
+def test_run_all_evals_int8_generation(world):
+    """--eval_quant int8: generation evals decode through the frozen-weight
+    int8 model (capture_q8) while loss/grid evals keep the exact path."""
+    import dataclasses
+
+    cfg, model, params, tokenizer, store, captions = world
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, quant="int8"))
+    ev = Evaluator(model, cfg)
+    assert ev.gen_model is not ev.model
+
+    cap = CaptionDataset(captions, store, tokenizer, max_len=cfg.data.max_len)
+    cap_batches = [next(cap.epoch_iterator(4, 0))]
+    references = [[captions[i][0]] for i in store.image_ids[:4]]
+    scores = ev.run_all_evals(params, {
+        "caption_gen": {"batches": cap_batches, "references": references,
+                        "tokenizer": tokenizer, "lang_id": 0},
+    })
+    assert np.isfinite(scores["caption_bleu"])
+    assert np.isfinite(scores["caption_cider"])
+    # q8 tables captured once and cached
+    assert ev._q8_cache[1] is not None

@@ -112,3 +112,141 @@ def test_pred_layer_int8_head():
                 / jnp.max(jnp.abs(out_d)))
     assert out_q.shape == (4, 3, 128)
     assert rel < 0.05, rel
+
+
+# ---------------------------------------------------------------------------
+# frozen-weight int8 inference (the "q8" collection)
+# ---------------------------------------------------------------------------
+
+
+def test_prequant_matmul_bit_identical_to_dynamic():
+    """Hoisting the weight quantization must not change a single bit."""
+    from m3p_tpu.ops.quant import (
+        int8_matmul, int8_matmul_nt, int8_matmul_nt_pre, int8_matmul_pre,
+        prequantize_nn, prequantize_nt)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(6, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 24) * 0.1, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(int8_matmul_pre(x, *prequantize_nn(w))),
+        np.asarray(int8_matmul(x, w)))
+    wt = jnp.asarray(rng.randn(50, 32) * 0.1, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(int8_matmul_nt_pre(x, *prequantize_nt(wt))),
+        np.asarray(int8_matmul_nt(x, wt)))
+
+
+def _tiny_infer_models():
+    from m3p_tpu.config import ModelConfig
+    from m3p_tpu.model import build_model, quantized_inference_model
+
+    cfg = ModelConfig(
+        n_words=120, mask_index=119, n_langs=2, emb_dim=32, n_layers=2,
+        n_dec_layers=2, n_heads=2, dropout=0.0, attention_dropout=0.0,
+        max_region_num=3, refine_layers=1, dtype="float32",
+        use_pallas_attention=False)
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    qmodel = quantized_inference_model(cfg)
+    return cfg, model, qmodel, params
+
+
+def test_capture_q8_and_joint_forward():
+    """q8-provided apply == dynamic-int8 apply exactly; both track fp32."""
+    from m3p_tpu.model import capture_q8
+
+    cfg, model, qmodel, params = _tiny_infer_models()
+    q8 = capture_q8(qmodel, params)
+    # the tied vocab table and at least one FFN + attention table captured
+    leaves = jax.tree.leaves(q8)
+    assert any(a.dtype == jnp.int8 for a in leaves)
+    assert "pred_layer" in q8
+
+    rng = np.random.RandomState(3)
+    b, s, r = 2, 5, 3
+    tokens = jnp.asarray(rng.randint(4, 100, (b, s)), jnp.int32)
+    tmask = jnp.ones((b, s), bool)
+    feats = jnp.asarray(rng.randn(b, r, 2048), jnp.float32)
+    locs = jnp.asarray(rng.rand(b, r, 5), jnp.float32)
+    imask = jnp.ones((b, r), bool)
+    args = (tokens, tmask, feats, locs, imask, True)
+
+    h_fp = model.apply({"params": params}, *args, method=model.encode_joint)
+    # without a q8 collection the int8_infer model falls back to the plain
+    # GEMMs — identical computation to the unquantized model
+    h_dyn = qmodel.apply({"params": params}, *args,
+                         method=qmodel.encode_joint)
+    np.testing.assert_allclose(np.asarray(h_dyn), np.asarray(h_fp),
+                               atol=1e-5, rtol=1e-4)
+    h_q8 = qmodel.apply({"params": params, "q8": q8}, *args,
+                        method=qmodel.encode_joint)
+    rel = float(jnp.linalg.norm(h_q8 - h_fp) / jnp.linalg.norm(h_fp))
+    assert 0 < rel < 0.05, rel  # int8 engaged (skinny shapes) and accurate
+
+    # vocab head through the pre-quantized tied table
+    lg_fp = model.apply({"params": params}, h_fp[:, 0],
+                        method=model.word_logits)
+    lg_q8 = qmodel.apply({"params": params, "q8": q8}, h_fp[:, 0],
+                         method=qmodel.word_logits)
+    rel = float(jnp.linalg.norm(lg_q8 - lg_fp) / jnp.linalg.norm(lg_fp))
+    assert rel < 0.05, rel
+
+
+def test_q8_beam_search_and_grid_scores():
+    """Generation + eval-grid entry points accept the q8 variables dict."""
+    from m3p_tpu.eval.retrieval import retrieval_grid_scores
+    from m3p_tpu.model import capture_q8
+    from m3p_tpu.model.generation import beam_search
+
+    cfg, model, qmodel, params = _tiny_infer_models()
+    q8 = capture_q8(qmodel, params)
+    variables = {"params": params, "q8": q8}
+
+    rng = np.random.RandomState(4)
+    src = jnp.asarray(rng.randn(2, 4, cfg.emb_dim), jnp.float32)
+    smask = jnp.ones((2, 4), bool)
+    toks, lens = beam_search(qmodel, variables, src, smask, beam_size=2,
+                             max_len=6, tgt_lang_id=0)
+    assert toks.shape == (2, 6) and lens.shape == (2,)
+
+    n_cap, n_img, r = 4, 3, 3
+    cap_tokens = np.asarray(rng.randint(4, 100, (n_cap, 5)), np.int32)
+    cap_len = np.full((n_cap,), 5, np.int32)
+    img_feats = rng.randn(n_img, r, 2048).astype(np.float32)
+    img_locs = rng.rand(n_img, r, 5).astype(np.float32)
+    img_len = np.full((n_img,), r, np.int32)
+    grid_q8 = retrieval_grid_scores(qmodel, variables, cap_tokens, cap_len,
+                                    img_feats, img_locs, img_len,
+                                    chunk_size=4)
+    grid_fp = retrieval_grid_scores(model, params, cap_tokens, cap_len,
+                                    img_feats, img_locs, img_len,
+                                    chunk_size=4)
+    assert grid_q8.shape == grid_fp.shape == (n_img, n_cap)
+    # quantization perturbs scores but must preserve the broad structure
+    c = np.corrcoef(grid_q8.ravel(), grid_fp.ravel())[0, 1]
+    assert c > 0.95, c
+
+
+def test_q8_gate_large_m_falls_back_to_bf16():
+    """Above PREQUANT_MAX_M rows the int8_infer GEMM must be the plain one
+    (int8 measured neutral-to-worse on compute-bound shapes)."""
+    from m3p_tpu.model.layers import QuantDense
+    from m3p_tpu.ops.quant import PREQUANT_MAX_M
+
+    rng = np.random.RandomState(5)
+    dense = QuantDense(16, jnp.float32, jnp.float32, ("embed", "mlp"),
+                       False, True)
+    x_small = jnp.asarray(rng.randn(4, 8), jnp.float32)
+    v = dense.init(jax.random.PRNGKey(0), x_small)
+    p = {"params": __import__("flax.linen", fromlist=["nn"]).meta.unbox(
+        v["params"])}
+    _, q8 = dense.apply(p, x_small, mutable=["q8"])
+    x_big = jnp.asarray(rng.randn(PREQUANT_MAX_M + 1, 8), jnp.float32)
+    out_big = dense.apply({**p, **q8}, x_big)
+    kernel, bias = p["params"]["kernel"], p["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(out_big),
+                               np.asarray(x_big @ kernel + bias),
+                               atol=1e-5, rtol=1e-5)
+    # small M engages int8: output differs from the exact GEMM
+    out_small = dense.apply({**p, **q8}, x_small)
+    assert float(jnp.abs(out_small - (x_small @ kernel + bias)).max()) > 1e-6

@@ -42,6 +42,14 @@ def main() -> None:
                       attention_dropout=0.0, max_region_num=R,
                       dtype="bfloat16")
     model, params = build_model(cfg, jax.random.PRNGKey(0))
+    q8 = "--q8" in _sys.argv
+    if q8:
+        # frozen-weight int8 decode (skinny GEMMs + halved vocab-table reads)
+        from m3p_tpu.model import capture_q8, quantized_inference_model
+
+        model = quantized_inference_model(cfg)
+        params = {"params": params, "q8": capture_q8(model, params)}
+        print("q8: frozen-weight int8 tables captured")
 
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(B, R, 2048).astype(np.float32))
@@ -50,13 +58,18 @@ def main() -> None:
 
     @jax.jit
     def encode(params, feats, locs, img_mask):
-        return model.apply({"params": params}, feats, locs, img_mask, None,
+        from m3p_tpu.model.transformer import as_variables
+
+        return model.apply(as_variables(params), feats, locs, img_mask, None,
                            True, method=model.encode_image)
+
+    fast = "--fast" in _sys.argv
 
     @jax.jit
     def beam(params, src_enc, img_mask):
         return beam_search(model, params, src_enc, img_mask, BEAM, MAX_LEN,
-                           tgt_lang_id=0, length_penalty=1.0)
+                           tgt_lang_id=0, length_penalty=1.0,
+                           fast_topk=fast)
 
     @jax.jit
     def greedy(params, src_enc, img_mask):

@@ -4,7 +4,11 @@ scorer (`eval/retrieval.py::retrieval_grid_scores`).
 Measures the flagship model on a synthetic caption/image pool shaped like
 Multi30K test (n_img x n_cap grid, 100-region images, 64-token captions).
 
-Usage: python tools/bench_eval_grid.py [n_img n_cap chunk_size] [--int8]
+Usage: python tools/bench_eval_grid.py [n_img n_cap chunk_size] [--int8|--q8]
+
+--int8: dynamic int8 FFN GEMMs (weights re-quantized every chunk)
+--q8:   frozen-weight int8 (weights quantized ONCE, attention+FFN GEMMs on
+        the int8 MXU — the inference-mode path, `model.capture_q8`)
 """
 import os
 import sys
@@ -28,12 +32,20 @@ def main():
     n_cap = int(args[1]) if len(args) > 1 else 500
     chunk = int(args[2]) if len(args) > 2 else 512
     int8 = "--int8" in sys.argv
+    q8 = "--q8" in sys.argv
 
     cfg = ModelConfig(
         n_words=250002, mask_index=250001, n_layers=12, emb_dim=768,
         n_heads=12, dropout=0.1, attention_dropout=0.0, max_region_num=100,
         dtype="bfloat16", ffn_quant="int8_bwd" if int8 else "none")
     model, params = build_model(cfg, jax.random.PRNGKey(0))
+    if q8:
+        from m3p_tpu.model import capture_q8, quantized_inference_model
+
+        model = quantized_inference_model(cfg)
+        t0 = time.perf_counter()
+        params = {"params": params, "q8": capture_q8(model, params)}
+        print({"q8_capture_secs": round(time.perf_counter() - t0, 1)})
 
     rng = np.random.RandomState(0)
     cap_tokens = rng.randint(4, 250000, (n_cap, 64)).astype(np.int32)
@@ -52,7 +64,7 @@ def main():
                                    chunk_size=chunk)
     dt = time.perf_counter() - t0
     pairs = n_img * n_cap
-    print({"pairs": pairs, "chunk": chunk, "int8": int8,
+    print({"pairs": pairs, "chunk": chunk, "int8": int8, "q8": q8,
            "secs": round(dt, 1), "pairs_per_s": round(pairs / dt, 1)})
     assert np.isfinite(scores).all()
 
