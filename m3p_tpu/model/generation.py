@@ -147,8 +147,20 @@ def beam_search(
     src_enc_k = jnp.repeat(src_enc, k, axis=0)
     src_mask_k = jnp.repeat(src_mask, k, axis=0)
 
-    cache = model.apply(as_variables(params), src_enc_k, max_len,
-                        method=model.init_decode_cache)
+    cache0 = model.apply(as_variables(params), src_enc_k, max_len,
+                         method=model.init_decode_cache)
+    # Split the cache: only the SELF-attention K/V depends on which beams
+    # survive; the precomputed cross-attention K/V is identical across the K
+    # beams of a row (all repeats of the same source encoding), so gathering
+    # it per step is a semantic no-op that moves ~GBs/step at 100 regions
+    # (profiled as the dominant non-GEMM cost of a beam step).  Carry the
+    # self part through the scan; close over the cross part.
+    cross_cache = {L: {"cross": c.get("cross", {})}
+                   for L, c in cache0.items()}
+    cache = {L: {"self": c["self"]} for L, c in cache0.items()}
+
+    def _merge_cache(self_c):
+        return {L: {**self_c[L], **cross_cache[L]} for L in self_c}
 
     # beam 0 active, others -inf so step 1 picks distinct continuations
     init_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1)), (b,))  # (BK,)
@@ -166,8 +178,10 @@ def beam_search(
         positions = jnp.full((bk, 1), t, jnp.int32)
         langs = (jnp.full((bk, 1), tgt_lang_id, jnp.int32)
                  if tgt_lang_id is not None else None)
-        logits, cache = _decode_step(model, params, cur_tok, positions, langs,
-                                     src_enc_k, src_mask_k, cache)
+        logits, full_cache = _decode_step(model, params, cur_tok, positions,
+                                          langs, src_enc_k, src_mask_k,
+                                          _merge_cache(cache))
+        cache = {L: {"self": full_cache[L]["self"]} for L in full_cache}
         # exact two-stage top-2K without materializing log_softmax over
         # (BK, V): within a beam row the candidate ranking equals the raw
         # logit ranking (logp and logsumexp are per-row constants), so
