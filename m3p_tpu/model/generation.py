@@ -143,11 +143,11 @@ def beam_search(
     k = beam_size
     bk = b * k
 
-    # expand encoder state across beams
-    src_enc_k = jnp.repeat(src_enc, k, axis=0)
-    src_mask_k = jnp.repeat(src_mask, k, axis=0)
-
-    cache0 = model.apply(as_variables(params), src_enc_k, max_len,
+    # The source encoding stays UNREPLICATED: the cross-attention K/V cache
+    # is computed once per row and cross-attention beam-folds its queries
+    # (layers.py), so each row's K/V is read from HBM once per step instead
+    # of once per beam (5x less cross-cache traffic at beam 5).
+    cache0 = model.apply(as_variables(params), src_enc, max_len, bk,
                          method=model.init_decode_cache)
     # Split the cache: only the SELF-attention K/V depends on which beams
     # survive; the precomputed cross-attention K/V is identical across the K
@@ -179,7 +179,7 @@ def beam_search(
         langs = (jnp.full((bk, 1), tgt_lang_id, jnp.int32)
                  if tgt_lang_id is not None else None)
         logits, full_cache = _decode_step(model, params, cur_tok, positions,
-                                          langs, src_enc_k, src_mask_k,
+                                          langs, src_enc, src_mask,
                                           _merge_cache(cache))
         cache = {L: {"self": full_cache[L]["self"]} for L in full_cache}
         # exact two-stage top-2K without materializing log_softmax over

@@ -237,6 +237,24 @@ class MultiHeadAttention(nn.Module):
                                  causal=causal)
             return self._project_out(self._merge(ctx)), new_cache
 
+        # Beam-folded cross-attention: when the cached cross K/V has fewer
+        # rows than the queries (beam decode with an UNREPLICATED source —
+        # all K beams of a row attend to the same keys), fold the beam
+        # replica dim into the query-sequence dim so each row's K/V is read
+        # from HBM once per step instead of once per beam (profiled as a
+        # dominant beam-decode cost at 100 regions; see generation.py).
+        fold = 1
+        if (kv is not None and cache is not None
+                and k.shape[0] != q.shape[0]):
+            assert q.shape[0] % k.shape[0] == 0, (q.shape, k.shape)
+            fold = q.shape[0] // k.shape[0]
+            bkv, h, sq, dh = k.shape[0], q.shape[1], q.shape[2], q.shape[3]
+            q = (q.reshape(bkv, fold, h, sq, dh).transpose(0, 2, 1, 3, 4)
+                 .reshape(bkv, h, fold * sq, dh))
+            if kv_mask is not None and kv_mask.shape[0] != bkv:
+                # replicated mask rows are identical within a fold group
+                kv_mask = kv_mask.reshape(bkv, fold, -1)[:, 0]
+
         use_dropout = (not deterministic) and self.dropout > 0.0
         if use_dropout:
             # attention-weight dropout forces the XLA path (the Pallas kernel
@@ -261,6 +279,11 @@ class MultiHeadAttention(nn.Module):
             ctx = attention(q, k, v, kv_mask, causal=causal,
                             use_pallas=self.use_pallas)
 
+        if fold > 1:
+            bkv, h, _, dh = ctx.shape
+            sq = ctx.shape[2] // fold
+            ctx = (ctx.reshape(bkv, h, fold, sq, dh).transpose(0, 2, 1, 3, 4)
+                   .reshape(bkv * fold, h, sq, dh))
         out = self._project_out(self._merge(ctx))
         return out, new_cache
 

@@ -364,13 +364,19 @@ class M3PModel(nn.Module):
             }
         return cache
 
-    def init_decode_cache(self, src_enc: jax.Array, max_len: int) -> Cache:
+    def init_decode_cache(self, src_enc: jax.Array, max_len: int,
+                          batch_size: Optional[int] = None) -> Cache:
         """Self-attention KV cache + precomputed cross-attention K/V over the
         encoder output (the incremental-decode equivalent of the reference
         cache reuse, `transformer.py:181-184`).  Precomputing here keeps the
         scan carry structure fixed and avoids reprojecting the source K/V at
-        every decode step."""
-        b = src_enc.shape[0]
+        every decode step.
+
+        ``batch_size`` (default: src rows) sizes the self-attention cache;
+        beam search passes batch*beam while keeping ``src_enc`` UNREPLICATED —
+        cross-attention then beam-folds its queries so each row's K/V is
+        read once per step (`layers.py::MultiHeadAttention`)."""
+        b = batch_size if batch_size is not None else src_enc.shape[0]
         cache = self.init_cache(b, max_len)
         for i, blk in enumerate(self.blocks):
             attn = blk.encoder_attn

@@ -109,3 +109,24 @@ def test_sampled_generation_differs_by_key(setup):
                             tgt_lang_id=0, temperature=1.5,
                             rng=jax.random.PRNGKey(1))
     assert (np.asarray(t1) != np.asarray(t2)).any()
+
+
+def test_beam_rows_independent_and_permutation_equivariant(setup):
+    """Beam-folded cross-attention (unreplicated source K/V) must keep rows
+    independent: a row's hypothesis cannot depend on batch position or on
+    the other rows (would catch any beam/image fold transposition)."""
+    cfg, model, params, src_enc, src_mask = setup
+    toks, lens = beam_search(model, params, src_enc, src_mask,
+                             beam_size=3, max_len=10, tgt_lang_id=0)
+    # permute the batch -> outputs permute identically
+    perm = jnp.array([2, 0, 1])
+    toks_p, lens_p = beam_search(model, params, src_enc[perm],
+                                 src_mask[perm], beam_size=3, max_len=10,
+                                 tgt_lang_id=0)
+    np.testing.assert_array_equal(np.asarray(toks_p), np.asarray(toks)[perm])
+    np.testing.assert_array_equal(np.asarray(lens_p), np.asarray(lens)[perm])
+    # a single-row batch reproduces the same row
+    toks_1, lens_1 = beam_search(model, params, src_enc[1:2], src_mask[1:2],
+                                 beam_size=3, max_len=10, tgt_lang_id=0)
+    np.testing.assert_array_equal(np.asarray(toks_1)[0], np.asarray(toks)[1])
+    assert int(lens_1[0]) == int(lens[1])
