@@ -100,12 +100,27 @@ def greedy_generate(
 
 
 def _gather_beams(tree, beam_indices, batch_size, new_beam_size):
-    """Select beams: tree leaves are (B*K_old, ...) -> (B*K_new, ...)."""
+    """Select beams: tree leaves are (B*K_old, ...) -> (B*K_new, ...).
+
+    Large float leaves (the KV cache) are gathered with a one-hot einsum:
+    the per-row one-hot selection rides the MXU as a tiny batched matmul and
+    reads the cache once, where the take_along_axis lowering was profiled as
+    pathologically slow staged DMA slices inside the decode scan."""
+    onehot = None
 
     def gather(x):
+        nonlocal onehot
         if not hasattr(x, "ndim") or x.ndim == 0:
             return x
         xk = x.reshape(batch_size, -1, *x.shape[1:])
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.size >= (1 << 16):
+            if onehot is None:
+                k_old = xk.shape[1]
+                onehot = jax.nn.one_hot(beam_indices.reshape(
+                    batch_size, new_beam_size), k_old, dtype=x.dtype)
+            flat = xk.reshape(batch_size, xk.shape[1], -1)
+            out = jnp.einsum("bnk,bkf->bnf", onehot.astype(x.dtype), flat)
+            return out.reshape(batch_size * new_beam_size, *x.shape[1:])
         out = jnp.take_along_axis(
             xk, beam_indices.reshape(batch_size, new_beam_size,
                                      *([1] * (xk.ndim - 2))), axis=1)
