@@ -230,6 +230,127 @@ def load_reference_checkpoint(pth_path: str, n_layers: int,
     return convert_reference_state_dict(sd_np, n_layers, refine_layers)
 
 
+def export_reference_state_dict(
+    params: Dict[str, Any],
+    n_layers: int,
+    refine_layers: int = 3,
+) -> Dict[str, "np.ndarray"]:
+    """Inverse of `convert_reference_state_dict`: map this framework's
+    parameter tree back onto the reference `TransformerModel` state-dict
+    naming (`transformer.py:610-729`), so checkpoints trained here can be
+    reloaded by the reference codebase (`model/__init__.py:96-124`).
+
+    Linear kernels transpose back to torch's (out, in) layout; values export
+    as float32 numpy.  The tied `pred_layer.proj.weight` is emitted as a copy
+    of the word embedding (torch state dicts list tied tensors under both
+    names).  Round-trip (export -> convert) is identity — enforced by
+    `tests/test_checkpoint.py::test_reference_export_roundtrip`.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def get(path: Sequence[str]):
+        node = params
+        for k in path:
+            if not isinstance(node, dict) or k not in node:
+                return None
+            node = node[k]
+        return np.asarray(node).astype(np.float32)
+
+    def linear(src: str, dst: Sequence[str]) -> None:
+        k = get(list(dst) + ["kernel"])
+        b = get(list(dst) + ["bias"])
+        if k is not None:
+            sd[f"{src}.weight"] = np.ascontiguousarray(k.T)
+        if b is not None:
+            sd[f"{src}.bias"] = b
+
+    def lnorm(src: str, dst: Sequence[str]) -> None:
+        s = get(list(dst) + ["ln", "scale"])
+        b = get(list(dst) + ["ln", "bias"])
+        if s is not None:
+            sd[f"{src}.weight"] = s
+        if b is not None:
+            sd[f"{src}.bias"] = b
+
+    def embed(src: str, dst: Sequence[str]) -> None:
+        e = get(list(dst) + ["embedding"])
+        if e is not None:
+            sd[f"{src}.weight"] = e
+
+    embed("embeddings", ["text_emb", "word"])
+    embed("position_embeddings", ["text_emb", "position"])
+    embed("cross_lang_embeddings", ["text_emb", "lang"])
+    lnorm("layer_norm_emb", ["text_emb", "ln_emb"])
+
+    for i in range(n_layers):
+        blk = f"block_{i}"
+        for lin in ("q_lin", "k_lin", "v_lin", "out_lin"):
+            linear(f"attentions.{i}.{lin}", [blk, "attn", lin])
+            linear(f"encoder_attn.{i}.{lin}", [blk, "encoder_attn", lin])
+        lnorm(f"layer_norm1.{i}", [blk, "ln1"])
+        lnorm(f"layer_norm15.{i}", [blk, "ln15"])
+        lnorm(f"layer_norm2.{i}", [blk, "ln2"])
+        linear(f"ffns.{i}.lin1", [blk, "ffn", "lin1"])
+        linear(f"ffns.{i}.lin2", [blk, "ffn", "lin2"])
+
+    linear("image_embeddings.image_embeddings", ["image_emb", "img_proj"])
+    linear("image_embeddings.image_location_embeddings",
+           ["image_emb", "loc_proj"])
+    linear("image_embeddings.image_distbution_embeddings",
+           ["image_emb", "dist_proj"])
+    lnorm("image_embeddings.LayerNorm", ["image_emb", "ln"])
+
+    for i in range(refine_layers):
+        src = f"refine_embeddings.layers.{i}"
+        dst = ["refiner", f"layer_{i}"]
+        linear(f"{src}.self_attn.linears.0", dst + ["aoa_attn", "q_lin"])
+        linear(f"{src}.self_attn.linears.1", dst + ["aoa_attn", "k_lin"])
+        linear(f"{src}.self_attn.linears.2", dst + ["aoa_attn", "v_lin"])
+        linear(f"{src}.self_attn.aoa_layer.0", dst + ["aoa_attn", "aoa"])
+        lnorm(f"{src}.sublayer.0.norm", dst + ["ln_attn"])
+        lnorm(f"{src}.sublayer.1.norm", dst + ["ln_ffn"])
+        linear(f"{src}.feed_forward.lin1", dst + ["ffn", "lin1"])
+        linear(f"{src}.feed_forward.lin2", dst + ["ffn", "lin2"])
+    lnorm("refine_embeddings.norm", ["refiner", "ln_out"])
+
+    linear("pooled_layer.dense", ["itm_pooler", "dense"])
+    linear("seq_relationship", ["itm_pooler", "score"])
+    linear("pooled_layer2.dense", ["clcm_pooler", "dense"])
+    linear("seq_relationship2", ["clcm_pooler", "score"])
+    linear("mrfr_dense", ["mrfr_head", "dense"])
+    linear("transformer_obj.dense", ["obj_pred", "transform_dense"])
+    lnorm("transformer_obj.LayerNorm", ["obj_pred", "transform_ln"])
+    linear("pred_obj_layer.proj", ["obj_pred", "proj"])
+    bias = get(["pred_layer", "bias"])
+    if bias is not None:
+        sd["pred_layer.proj.bias"] = bias
+    if "embeddings.weight" in sd:
+        sd["pred_layer.proj.weight"] = sd["embeddings.weight"]
+
+    return sd
+
+
+def save_reference_checkpoint(
+    pth_path: str,
+    params: Dict[str, Any],
+    n_layers: int,
+    refine_layers: int = 3,
+    extra_params: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a checkpoint the reference codebase can `--reload_model`:
+    `{'model': state_dict, 'params': {...}}`, the `save_model` blob layout
+    (`xtrainer.py:511-529`).  CPU-only torch."""
+    import torch
+
+    sd = export_reference_state_dict(params, n_layers, refine_layers)
+    blob = {
+        "model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in sd.items()},
+        "params": dict(extra_params or {}),
+    }
+    torch.save(blob, pth_path)
+
+
 def merge_params(base: Dict[str, Any], loaded: Dict[str, Any]
                  ) -> Dict[str, Any]:
     """Overlay loaded params on an initialized tree, backfilling missing keys

@@ -27,6 +27,21 @@ import numpy as np
 
 
 def cmd_train_vocab(args) -> None:
+    # native C++ trainer by default (the reference toolchain trained vocab in
+    # SentencePiece's C++ trainer); Python fallback is model-for-model
+    # identical (tests/test_native_trainer.py)
+    if args.impl in ("auto", "native"):
+        try:
+            from m3p_tpu.tokenization.native import native_train_unigram
+
+            n = native_train_unigram(args.inputs, args.out,
+                                     vocab_size=args.size)
+            print(f"trained unigram vocab (native): {n} pieces -> {args.out}")
+            return
+        except Exception:
+            if args.impl == "native":
+                raise
+
     from m3p_tpu.tokenization.unigram import train_unigram
 
     def lines():
@@ -84,6 +99,8 @@ def main(argv=None) -> None:
     tv.add_argument("inputs", nargs="+")
     tv.add_argument("--out", required=True)
     tv.add_argument("--size", type=int, default=32000)
+    tv.add_argument("--impl", choices=("auto", "native", "python"),
+                    default="auto")
     tv.set_defaults(fn=cmd_train_vocab)
 
     bz = sub.add_parser("binarize")

@@ -57,6 +57,10 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.m3ptok_id_to_piece.restype = ctypes.c_int32
     lib.m3ptok_piece_to_id.argtypes = [ctypes.c_int32, ctypes.c_char_p]
     lib.m3ptok_piece_to_id.restype = ctypes.c_int32
+    lib.m3ptok_train.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.m3ptok_train.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -106,3 +110,31 @@ class NativeUnigram:
 
     def piece_to_id(self, piece: str) -> int:
         return int(self._lib.m3ptok_piece_to_id(self._handle, piece.encode()))
+
+
+def native_train_unigram(
+    corpus_paths: Sequence[str],
+    out_path: str,
+    vocab_size: int = 8000,
+    max_piece_len: int = 12,
+    seed_factor: int = 4,
+    n_em_iters: int = 2,
+) -> int:
+    """Train a unigram vocabulary in the native C++ trainer
+    (native/trainer.cpp) — model-for-model identical to
+    `unigram.train_unigram` (parity test: tests/test_native_trainer.py).
+    Writes the TSV model to ``out_path``; returns the trained vocab size.
+
+    Raises RuntimeError when the native library is unavailable (callers fall
+    back to the Python trainer).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native tokenizer library unavailable")
+    encoded = [p.encode() for p in corpus_paths]
+    arr = (ctypes.c_char_p * len(encoded))(*encoded)
+    n = lib.m3ptok_train(arr, len(encoded), out_path.encode(),
+                         vocab_size, max_piece_len, seed_factor, n_em_iters)
+    if n < 0:
+        raise IOError(f"native trainer failed (paths={list(corpus_paths)})")
+    return int(n)

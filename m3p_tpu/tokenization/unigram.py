@@ -175,7 +175,11 @@ def train_unigram(
 
     required = list(chars.keys())
     n_seed = max(vocab_size * seed_factor - len(required), 0)
-    seeds = [p for p, _ in sub_counts.most_common(n_seed)]
+    # explicit (-count, piece) tie-break instead of Counter.most_common's
+    # insertion-order ties: the native C++ trainer (native/trainer.cpp) must
+    # reproduce this selection exactly
+    ranked = sorted(sub_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    seeds = [p for p, _ in ranked[:n_seed]]
     pieces = required + [p for p in seeds if p not in chars]
     counts = {p: (chars[p] if p in chars else sub_counts[p]) for p in pieces}
     total = sum(counts.values())
@@ -197,7 +201,7 @@ def train_unigram(
         total = sum(new_counts.values()) or 1
         kept = set(required)
         budget = vocab_size - len(required)
-        for p, _ in new_counts.most_common():
+        for p, _ in sorted(new_counts.items(), key=lambda kv: (-kv[1], kv[0])):
             if budget <= 0:
                 break
             if p not in kept:

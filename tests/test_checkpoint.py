@@ -19,8 +19,9 @@ import torch.nn as nn
 import torch.nn.functional as F
 
 from m3p_tpu.checkpoint import (
-    average_checkpoints, convert_reference_state_dict, merge_params,
-    restore_checkpoint, save_checkpoint)
+    average_checkpoints, convert_reference_state_dict,
+    export_reference_state_dict, load_reference_checkpoint, merge_params,
+    restore_checkpoint, save_checkpoint, save_reference_checkpoint)
 from m3p_tpu.config import small_test_config
 from m3p_tpu.model import build_model
 
@@ -369,3 +370,58 @@ def test_weights_only_reload(tmp_path):
     assert "new_head" in merged
     np.testing.assert_array_equal(np.asarray(merged["enc"]["w"]),
                                   loaded["enc"]["w"])
+
+
+def test_reference_export_roundtrip(converted):
+    """export_reference_state_dict is the exact inverse of
+    convert_reference_state_dict: golden torch weights -> convert -> export
+    reproduces every golden tensor, and convert(export(params)) == params."""
+    golden, cfg, model, params = converted
+    sd = export_reference_state_dict(params, n_layers=LAYERS,
+                                     refine_layers=1)
+    golden_sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    # the 1600-d class-distribution projection is lazily created only when
+    # dist inputs are used (optional in the reference too; its reload
+    # backfills missing keys, `model/__init__.py:103-105`)
+    optional = {k for k in golden_sd if "image_distbution" in k}
+    missing = set(golden_sd) - set(sd) - optional
+    assert not missing, f"exported dict misses golden keys: {missing}"
+    for k, v in golden_sd.items():
+        if k in sd:
+            np.testing.assert_allclose(sd[k], v, atol=1e-6, err_msg=k)
+
+    back = convert_reference_state_dict(sd, n_layers=LAYERS, refine_layers=1)
+    flat_back = jax.tree_util.tree_flatten_with_path(back)[0]
+    flat_params = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    for path, leaf in flat_back:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_params[path]),
+                                   atol=1e-6, err_msg=str(path))
+
+
+def test_save_reference_checkpoint_torch_loadable(tmp_path, converted):
+    """A checkpoint written by save_reference_checkpoint round-trips through
+    torch.load + the import path, and loads into the golden torch model
+    (the reference `--reload_model` contract, `model/__init__.py:96-124`)."""
+    golden, cfg, model, params = converted
+    path = str(tmp_path / "exported.pth")
+    save_reference_checkpoint(path, params, n_layers=LAYERS, refine_layers=1,
+                              extra_params={"emb_dim": DIM})
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    assert blob["params"]["emb_dim"] == DIM
+
+    fresh = GoldenM3P().eval()
+    own = fresh.state_dict()
+    result = fresh.load_state_dict(
+        {k: v for k, v in blob["model"].items() if k in own}, strict=False)
+    # only the lazily-created class-distribution projection may be absent
+    assert all("image_distbution" in k for k in result.missing_keys)
+    assert not result.unexpected_keys
+
+    reloaded = load_reference_checkpoint(path, n_layers=LAYERS,
+                                         refine_layers=1)
+    merged = merge_params(build_model(cfg, jax.random.PRNGKey(1))[1],
+                          reloaded)
+    np.testing.assert_allclose(
+        np.asarray(merged["text_emb"]["word"]["embedding"]),
+        np.asarray(params["text_emb"]["word"]["embedding"]), atol=1e-6)

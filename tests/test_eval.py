@@ -150,3 +150,40 @@ def test_eval_path_artifacts(tmp_path):
     assert np.load(tmp_path / "ev" / npys[0]).shape == (n_img, n_cap)
     log = (tmp_path / "ev" / "inference.log").read_text().strip().split()
     assert len(log) == 3
+
+
+def test_retrieval_grid_length_bucketing_exact():
+    """Length-bucketed scoring (per-width static slices) must reproduce the
+    unbucketed grid exactly (padding is fully masked), including under
+    multi-process chunk interleaving."""
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    n_img, n_cap, S, R = 3, 13, 16, 8
+    cap_tokens = np.ones((n_cap, S), np.int32)  # pad=1
+    cap_len = rng.randint(3, S + 1, (n_cap,)).astype(np.int32)
+    for i, l in enumerate(cap_len):
+        cap_tokens[i, :l] = rng.randint(4, 500, l)
+    feats = rng.randn(n_img, R, 2048).astype(np.float32)
+    locs = rng.rand(n_img, R, 5).astype(np.float32)
+    img_len = np.full(n_img, R, np.int32)
+
+    flat = retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
+                                 locs, img_len, chunk_size=7,
+                                 refine_image=False, length_bucket=False)
+    bucketed = retrieval_grid_scores(model, params, cap_tokens, cap_len,
+                                     feats, locs, img_len, chunk_size=7,
+                                     refine_image=False, length_bucket=True,
+                                     min_bucket=4)
+    np.testing.assert_allclose(bucketed, flat, atol=2e-5, rtol=1e-5)
+
+    parts = [
+        retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
+                              locs, img_len, chunk_size=7,
+                              refine_image=False, length_bucket=True,
+                              min_bucket=4,
+                              process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(parts[0] + parts[1], bucketed, atol=1e-6)
+    assert (parts[0] == 0).any() and (parts[1] == 0).any()
