@@ -45,6 +45,18 @@ class RegionFeatureStore:
         self.max_region_num = max_region_num
         self._local = threading.local()
 
+    # Grain worker processes serialize the data source with cloudpickle;
+    # open h5 handles must never cross a process boundary (the reference's
+    # HDF5 fork hazard, `train_x.py:26`) — ship only the path and reopen
+    # lazily in the worker.
+    def __getstate__(self):
+        return {"path": self.path, "max_region_num": self.max_region_num}
+
+    def __setstate__(self, state):
+        self.path = state["path"]
+        self.max_region_num = state["max_region_num"]
+        self._local = threading.local()
+
     def _handles(self):
         if not hasattr(self._local, "f"):
             import h5py

@@ -73,9 +73,18 @@ class NativeUnigram:
         if lib is None:
             raise RuntimeError("native tokenizer library unavailable")
         self._lib = lib
+        self._model_path = model_path
         self._handle = lib.m3ptok_load(model_path.encode())
         if self._handle < 0:
             raise FileNotFoundError(model_path)
+
+    # CDLL handles can't cross process boundaries (Grain workers pickle the
+    # data source) — ship the model path, reload in the worker.
+    def __getstate__(self):
+        return {"_model_path": self._model_path}
+
+    def __setstate__(self, state):
+        self.__init__(state["_model_path"])
 
     def __len__(self) -> int:
         return int(self._lib.m3ptok_vocab_size(self._handle))

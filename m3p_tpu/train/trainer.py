@@ -310,7 +310,8 @@ class Trainer:
             # checkpointable (state saved in save_checkpoint)
             git = iter(make_grain_loader(
                 dataset, local_bs, seed=self.cfg.seed,
-                epoch=self.epoch, with_clcm=self._with_clcm()))
+                epoch=self.epoch, with_clcm=self._with_clcm(),
+                worker_count=self.cfg.data.num_workers))
             self._grain_iterators[task] = git
             it = self._stage_iterator(git)
         else:
