@@ -11,11 +11,18 @@ per-rank h5 shard bookkeeping (`dataset_utils.py:51-140`,
 
 Determinism contract: record ``key`` -> per-record PRNG
 ``RandomState(seed * 1000003 + key)``, so any record rebuilds identically
-under shuffling, sharding, and mid-epoch resume.
+under shuffling, sharding, and mid-epoch resume. That guarantee is
+*per-record*; **batch composition** additionally depends on
+``worker_count`` (each Grain worker batches its own strided subset of the
+record stream and drop_remainder applies per worker), so batch-level
+reproducibility holds only for a fixed worker_count — and a checkpointed
+iterator state is only restorable into a loader built with the same
+worker_count (the Trainer falls back to a fresh iterator otherwise).
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -259,6 +266,13 @@ def make_grain_loader(
     else:
         raise TypeError(f"no grain source for {type(dataset).__name__}")
 
+    # drop_remainder applies PER WORKER (each worker batches its strided
+    # record subset): with too many workers a small dataset yields ZERO
+    # batches (e.g. 8 records / 4 workers / batch 4).  Cap workers so each
+    # can fill at least one batch.
+    if worker_count > 0:
+        worker_count = min(worker_count, len(source) // max(batch_size, 1))
+
     sampler = gp.IndexSampler(
         num_records=len(source),
         shard_options=(gp.ShardByJaxProcess(drop_remainder=True)
@@ -267,6 +281,10 @@ def make_grain_loader(
         num_epochs=num_epochs,
         seed=seed + epoch,
     )
+    logging.getLogger("m3p_tpu").info(
+        "grain loader: %s n=%d bs=%d workers=%d (batch composition is "
+        "reproducible only for a fixed worker_count)",
+        type(dataset).__name__, len(source), batch_size, worker_count)
     return gp.DataLoader(data_source=source, sampler=sampler,
                          operations=operations, worker_count=worker_count)
 

@@ -71,14 +71,11 @@ def _tsv_for_native(model_path: str, py_model: UnigramModel) -> str:
 class XLMRTokenizer:
     def __init__(self, model_path: str, use_native: bool = True):
         self._py_model = UnigramModel.load(model_path)
+        self._model_path = model_path
+        self._use_native = use_native
         self._native = None
         if use_native:
-            try:
-                from m3p_tpu.tokenization.native import NativeUnigram
-                self._native = NativeUnigram(
-                    _tsv_for_native(model_path, self._py_model))
-            except Exception:
-                self._native = None
+            self._native = self._try_native()
 
         self.fairseq_offset = 1
         n = len(self._py_model)
@@ -89,6 +86,28 @@ class XLMRTokenizer:
         self.sep_token_id = EOS_IDX
         self.unk_token_id = UNK_IDX
         self.mask_token_id = n + self.fairseq_offset
+
+    def _try_native(self):
+        try:
+            from m3p_tpu.tokenization.native import NativeUnigram
+            return NativeUnigram(
+                _tsv_for_native(self._model_path, self._py_model))
+        except Exception:
+            return None
+
+    # Grain workers pickle the data source (and with it any tokenizer it
+    # holds). Don't pickle NativeUnigram through — its __setstate__ would
+    # raise if the native lib or cached TSV is unavailable in the worker,
+    # killing the loader; rebuild with the same soft-fallback instead.
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_native"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self._use_native:
+            self._native = self._try_native()
 
     @property
     def vocab_size(self) -> int:

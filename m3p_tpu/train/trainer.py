@@ -57,6 +57,25 @@ class Trainer:
         self.model = model
         self.datasets = datasets or {}
         self.mesh = mesh
+        # sequence / pipeline parallelism: swap the model handle so EVERY
+        # objective's encoder stack runs sharded (SPModel/PPModel duck-type
+        # the apply(method=...) surface; m3p_tpu.parallel.sp docstring)
+        if mesh is not None and mesh.shape.get("seq", 1) > 1:
+            from m3p_tpu.parallel.sp import SPModel
+
+            assert mesh.shape.get("pp", 1) == 1, \
+                "seq and pp cannot both be >1 (stack sharded once)"
+            self.model = SPModel(model, mesh)
+            logger.info("sequence parallelism ON: seq=%d (ring attention)",
+                        mesh.shape["seq"])
+        elif mesh is not None and mesh.shape.get("pp", 1) > 1:
+            from m3p_tpu.parallel.pipeline import PPModel
+
+            self.model = PPModel(model, mesh,
+                                 n_microbatches=cfg.mesh.pp_microbatches)
+            logger.info("pipeline parallelism ON: pp=%d stages, %d "
+                        "microbatches", mesh.shape["pp"],
+                        cfg.mesh.pp_microbatches)
         self.state_shardings = state_shardings
         self.batch_sharding = batch_sharding
 
@@ -283,7 +302,12 @@ class Trainer:
             return next(it)
         except StopIteration:
             self._iterators[task] = self._make_iterator(task)
-            return next(self._iterators[task])
+            try:
+                return next(self._iterators[task])
+            except StopIteration:
+                raise ValueError(
+                    f"dataset for {task} yields no batches (fewer records "
+                    "than one batch after sharding?)") from None
 
     def _with_clcm(self) -> bool:
         """CLCM rides pretrain i2t batches only when --cross_clcm_steps is
@@ -563,7 +587,18 @@ class Trainer:
                 task = tuple(key_str.split("|"))
                 if task in self.datasets:
                     self._make_iterator(task)
-                    restore_loader_state(self._grain_iterators[task], st)
+                    try:
+                        restore_loader_state(self._grain_iterators[task], st)
+                    except ValueError as e:
+                        # grain refuses set_state across a worker_count
+                        # change (the state encodes per-worker positions);
+                        # fall back to a fresh iterator — only the mid-epoch
+                        # position is lost, not correctness
+                        logger.warning(
+                            "loader state for %s not restorable (%s) - "
+                            "restarting that iterator from the epoch head; "
+                            "was the checkpoint written with a different "
+                            "num_workers?", task, e)
             logger.info("resumed MID-EPOCH from %s (epoch %d, %d sentences, "
                         "%d loader states)", path, self.epoch, n_sent,
                         len(loader_state))
