@@ -26,10 +26,22 @@ from m3p_tpu.config import small_test_config
 from m3p_tpu.model import build_model
 
 DIM, HEADS, LAYERS, VOCAB, NPOS = 64, 4, 2, 512, 514
+REFINE, NOBJ = 1, 1600
+
+
+def _gelu_erf(x):
+    """The reference gelu (`transformer.py:48-56`)."""
+    return 0.5 * x * (1.0 + torch.erf(x / math.sqrt(2.0)))
 
 
 class GoldenM3P(nn.Module):
-    """Reference-semantics torch model with reference parameter names."""
+    """Reference-semantics torch model with reference parameter names.
+
+    Covers EVERY module `convert_reference_state_dict` maps: the joint
+    encoder + ITM/word heads, the decoder path (`encoder_attn`/`layer_norm15`,
+    `transformer.py:1087-1106`), lang embeddings, the AoA refiner
+    (`transformer.py:274-422`), and the CLCM/MRFR/obj heads
+    (`transformer.py:562-606,715-721`)."""
 
     def __init__(self):
         super().__init__()
@@ -54,6 +66,10 @@ class GoldenM3P(nn.Module):
         self.image_embeddings = ImageEmb()
 
         class MHA(nn.Module):
+            """Reference MultiHeadAttention semantics (`transformer.py:
+            127-210`): self-attention, or cross-attention over ``kv``;
+            ``mask`` is (bs, klen) or (bs, qlen, klen) (causal)."""
+
             def __init__(self):
                 super().__init__()
                 self.q_lin = nn.Linear(DIM, DIM)
@@ -61,22 +77,25 @@ class GoldenM3P(nn.Module):
                 self.v_lin = nn.Linear(DIM, DIM)
                 self.out_lin = nn.Linear(DIM, DIM)
 
-            def forward(self, x, mask):
-                b, s, _ = x.shape
+            def forward(self, x, mask, kv=None):
+                b = x.shape[0]
                 dh = DIM // HEADS
+                src = x if kv is None else kv
+                klen = src.shape[1]
 
                 def shape(t):
-                    return t.view(b, s, HEADS, dh).transpose(1, 2)
+                    return t.view(b, -1, HEADS, dh).transpose(1, 2)
 
                 q = shape(self.q_lin(x)) / math.sqrt(dh)
-                k = shape(self.k_lin(x))
-                v = shape(self.v_lin(x))
+                k = shape(self.k_lin(src))
+                v = shape(self.v_lin(src))
                 scores = q @ k.transpose(2, 3)
                 neg = -float("inf")
-                scores = scores.masked_fill(
-                    (mask == 0).view(b, 1, 1, s), neg)
+                m = (mask.unsqueeze(1) if mask.dim() == 3
+                     else mask.view(b, 1, 1, klen))
+                scores = scores.masked_fill(m == 0, neg)
                 w = F.softmax(scores.float(), dim=-1).type_as(scores)
-                ctx = (w @ v).transpose(1, 2).reshape(b, s, DIM)
+                ctx = (w @ v).transpose(1, 2).reshape(b, -1, DIM)
                 return self.out_lin(ctx)
 
         class FFN(nn.Module):
@@ -96,6 +115,71 @@ class GoldenM3P(nn.Module):
         self.ffns = nn.ModuleList([FFN() for _ in range(LAYERS)])
         self.layer_norm2 = nn.ModuleList(
             [nn.LayerNorm(DIM, eps=1e-12) for _ in range(LAYERS)])
+        # decoder path (`transformer.py:691-709,1087-1106`)
+        self.encoder_attn = nn.ModuleList([MHA() for _ in range(LAYERS)])
+        self.layer_norm15 = nn.ModuleList(
+            [nn.LayerNorm(DIM, eps=1e-12) for _ in range(LAYERS)])
+
+        # AoA refiner (`AoA_Refiner_Core`, `transformer.py:274-422`):
+        # pre-LN sublayers, GLU-gated attention-on-attention
+        class AoASelfAttn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linears = nn.ModuleList(
+                    [nn.Linear(DIM, DIM) for _ in range(3)])
+                self.aoa_layer = nn.Sequential(
+                    nn.Linear(2 * DIM, 2 * DIM), nn.GLU())
+
+            def forward(self, q_in, v_in, k_in, mask):
+                b = q_in.shape[0]
+                dh = DIM // HEADS
+
+                def shape(t):
+                    return t.view(b, -1, HEADS, dh).transpose(1, 2)
+
+                q = shape(self.linears[0](q_in))
+                k = shape(self.linears[1](k_in))
+                v = shape(self.linears[2](v_in))
+                scores = q @ k.transpose(-2, -1) / math.sqrt(dh)
+                m = mask.unsqueeze(-2).unsqueeze(1)
+                scores = scores.masked_fill(m == 0, -float("inf"))
+                w = F.softmax(scores, dim=-1)
+                x = (w @ v).transpose(1, 2).contiguous().view(b, -1, DIM)
+                return self.aoa_layer(torch.cat([x, q_in], -1))
+
+        class Sublayer(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm = nn.LayerNorm(DIM, eps=1e-12)
+
+            def forward(self, x, sub):
+                return x + sub(self.norm(x))
+
+        class AoALayer(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.self_attn = AoASelfAttn()
+                self.feed_forward = FFN()
+                self.sublayer = nn.ModuleList([Sublayer(), Sublayer()])
+
+            def forward(self, x, mask):
+                x = self.sublayer[0](
+                    x, lambda t: self.self_attn(t, t, t, mask))
+                return self.sublayer[1](x, self.feed_forward)
+
+        class AoACore(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layers = nn.ModuleList(
+                    [AoALayer() for _ in range(REFINE)])
+                self.norm = nn.LayerNorm(DIM, eps=1e-12)
+
+            def forward(self, x, mask):
+                for layer in self.layers:
+                    x = layer(x, mask)
+                return self.norm(x)
+
+        self.refine_embeddings = AoACore()
 
         class Pooler(nn.Module):
             def __init__(self):
@@ -107,6 +191,28 @@ class GoldenM3P(nn.Module):
 
         self.pooled_layer = Pooler()
         self.seq_relationship = nn.Linear(DIM, 1)
+        self.pooled_layer2 = Pooler()               # CLCM (`:715-716`)
+        self.seq_relationship2 = nn.Linear(DIM, 1)
+        self.mrfr_dense = nn.Linear(DIM, 2048)      # MRFR (`:718`)
+
+        # obj head: BertPredictionHeadTransform + 1600-class proj
+        # (`transformer.py:562-606,721`)
+        class ObjTransform(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.dense = nn.Linear(DIM, DIM)
+                self.LayerNorm = nn.LayerNorm(DIM, eps=1e-12)
+
+            def forward(self, h):
+                return self.LayerNorm(_gelu_erf(self.dense(h)))
+
+        class ObjProj(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(DIM, NOBJ)
+
+        self.transformer_obj = ObjTransform()
+        self.pred_obj_layer = ObjProj()
 
         class PredLayer(nn.Module):
             def __init__(self, emb):
@@ -132,8 +238,49 @@ class GoldenM3P(nn.Module):
             t = t * mask.unsqueeze(-1).float()
         return t
 
+    def textfwd(self, x, mask, langs=None, causal=False, src_enc=None,
+                src_mask=None):
+        """crossfwd text stream (`transformer.py:970-1114`), batch-major:
+        emb + pos [+ lang] -> LN -> *mask -> per layer self-attn (+LN1),
+        optional cross-attn over src_enc (+LN15), FFN (+LN2), *mask."""
+        b, s = x.shape
+        t = self.embeddings(x)
+        positions = torch.arange(s).unsqueeze(0)
+        t = t + self.position_embeddings(positions)
+        if langs is not None:
+            t = t + self.cross_lang_embeddings(langs)
+        t = self.layer_norm_emb(t)
+        t = t * mask.unsqueeze(-1).float()
+        if causal:
+            alen = torch.arange(s)
+            attn_mask = ((alen[None, None, :] <= alen[None, :, None])
+                         & (mask[:, None, :] > 0)).float()
+        else:
+            attn_mask = mask
+        for i in range(LAYERS):
+            attn = self.attentions[i](t, attn_mask)
+            t = self.layer_norm1[i](t + attn)
+            if causal and src_enc is not None:
+                c = self.encoder_attn[i](t, src_mask, kv=src_enc)
+                t = self.layer_norm15[i](t + c)
+            t = self.layer_norm2[i](t + self.ffns[i](t))
+            t = t * mask.unsqueeze(-1).float()
+        return t
+
     def itm(self, hidden):
         return self.seq_relationship(self.pooled_layer(hidden))
+
+    def clcm(self, hidden):
+        return self.seq_relationship2(self.pooled_layer2(hidden))
+
+    def mrfr(self, hidden):
+        return self.mrfr_dense(hidden)
+
+    def obj_scores(self, hidden):
+        return self.pred_obj_layer.proj(self.transformer_obj(hidden))
+
+    def refine(self, x, mask):
+        return self.refine_embeddings(x, mask)
 
     def word_scores(self, hidden):
         return self.pred_layer.proj(hidden)
@@ -201,6 +348,131 @@ def test_parity_with_padding(converted):
                       jnp.asarray(feats), jnp.asarray(locs),
                       jnp.ones((B, R), bool), method=model.encode_joint)
     np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(), atol=2e-4)
+
+
+def test_decoder_parity_full_and_incremental(converted):
+    """Activation parity for the decoder mappings (`encoder_attn.*`,
+    `layer_norm15.*`, `cross_lang_embeddings`) and the KV cache: the
+    full-sequence causal forward matches torch, and the cached incremental
+    decode reproduces the full forward position-by-position
+    (`transformer.py:970-1114`, cache `:181-195`)."""
+    golden, cfg, model, params = converted
+    rng = np.random.RandomState(2)
+    B, S, Ss = 2, 7, 5
+    x = rng.randint(4, VOCAB, (B, S))
+    langs = np.full((B, S), 1, np.int64)
+    src_enc = rng.randn(B, Ss, DIM).astype(np.float32)
+    src_mask = np.ones((B, Ss), np.float32)
+    src_mask[1, 3:] = 0
+
+    with torch.no_grad():
+        h_t = golden.textfwd(torch.from_numpy(x), torch.ones(B, S),
+                             torch.from_numpy(langs), causal=True,
+                             src_enc=torch.from_numpy(src_enc),
+                             src_mask=torch.from_numpy(src_mask)).numpy()
+
+    h_j, _ = model.apply({"params": params}, jnp.asarray(x),
+                         jnp.ones((B, S), bool), jnp.asarray(langs),
+                         None, True, jnp.asarray(src_enc),
+                         jnp.asarray(src_mask > 0),
+                         method=model.encode_text)
+    np.testing.assert_allclose(np.asarray(h_j), h_t, atol=2e-4)
+
+    cache = model.apply({"params": params}, jnp.asarray(src_enc), S,
+                        method=model.init_decode_cache)
+    outs = []
+    for t in range(S):
+        step_out, cache = model.apply(
+            {"params": params}, jnp.asarray(x[:, t:t + 1]),
+            jnp.ones((B, 1), bool), jnp.asarray(langs[:, t:t + 1]),
+            jnp.full((B, 1), t, jnp.int32), True, jnp.asarray(src_enc),
+            jnp.asarray(src_mask > 0), cache, method=model.encode_text)
+        outs.append(np.asarray(step_out)[:, 0])
+    np.testing.assert_allclose(np.stack(outs, 1), h_t, atol=2e-4)
+
+
+def test_greedy_ids_match_torch_decode(converted):
+    """Generated ids match a torch step-by-step greedy decode through the
+    converted decoder (the strongest cache+head check available without the
+    real checkpoint; reference `generate`, `transformer.py:1216-1320`)."""
+    from m3p_tpu.model.generation import greedy_generate
+
+    golden, cfg, model, params = converted
+    rng = np.random.RandomState(5)
+    B, Ss, MAXLEN = 2, 5, 8
+    src_enc = rng.randn(B, Ss, DIM).astype(np.float32)
+    src_mask = np.ones((B, Ss), np.float32)
+
+    tokens = np.full((B, 1), 2, np.int64)  # EOS-as-BOS start convention
+    finished = np.zeros(B, bool)
+    with torch.no_grad():
+        for _ in range(1, MAXLEN):
+            h = golden.textfwd(torch.from_numpy(tokens),
+                               torch.ones(B, tokens.shape[1]),
+                               torch.from_numpy(np.full_like(tokens, 1)),
+                               causal=True,
+                               src_enc=torch.from_numpy(src_enc),
+                               src_mask=torch.from_numpy(src_mask))
+            scores = golden.word_scores(h[:, -1]).numpy()
+            nxt = np.where(finished, 1, scores.argmax(-1))  # PAD after EOS
+            tokens = np.concatenate([tokens, nxt[:, None]], 1)
+            finished |= nxt == 2
+
+    jt, jl = greedy_generate(model, params, jnp.asarray(src_enc),
+                             jnp.ones((B, Ss), bool), MAXLEN, tgt_lang_id=1)
+    jt = np.asarray(jt)
+    for b in range(B):
+        upto = min(int(jl[b]), MAXLEN)
+        np.testing.assert_array_equal(jt[b, :upto], tokens[b, :upto],
+                                      err_msg=f"row {b}")
+
+
+def test_refiner_parity(converted):
+    """AoA refiner activation parity (`refine_embeddings.*` mappings:
+    q/k/v linears, GLU aoa gate, pre-LN sublayers, FFN, final norm —
+    `transformer.py:274-422`)."""
+    golden, cfg, model, params = converted
+    rng = np.random.RandomState(3)
+    B, R = 2, 6
+    x = rng.randn(B, R, DIM).astype(np.float32)
+    mask = np.ones((B, R), np.float32)
+    mask[1, 4:] = 0
+
+    with torch.no_grad():
+        out_t = golden.refine(torch.from_numpy(x),
+                              torch.from_numpy(mask)).numpy()
+
+    out_j = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(mask > 0),
+        method=lambda m, a, b: m.refiner(a, b, deterministic=True))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=2e-4)
+
+
+def test_head_parity_clcm_mrfr_obj(converted):
+    """Activation parity for the remaining head mappings: CLCM pooler/score
+    (`pooled_layer2`/`seq_relationship2`), MRFR regression (`mrfr_dense`),
+    and the obj head transform+proj (`transformer_obj`/`pred_obj_layer`,
+    `transformer.py:562-606,715-721`)."""
+    golden, cfg, model, params = converted
+    rng = np.random.RandomState(4)
+    B, S = 2, 9
+    hidden = rng.randn(B, S, DIM).astype(np.float32)
+    th = torch.from_numpy(hidden)
+
+    with torch.no_grad():
+        clcm_t = golden.clcm(th).numpy()
+        mrfr_t = golden.mrfr(th).numpy()
+        obj_t = golden.obj_scores(th).numpy()
+
+    clcm_j = model.apply({"params": params}, jnp.asarray(hidden),
+                         method=model.clcm_score)
+    mrfr_j = model.apply({"params": params}, jnp.asarray(hidden),
+                         method=model.mrfr_predict)
+    obj_j = model.apply({"params": params}, jnp.asarray(hidden),
+                        method=model.obj_logits)
+    np.testing.assert_allclose(np.asarray(clcm_j), clcm_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mrfr_j), mrfr_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(obj_j), obj_t, atol=2e-3)
 
 
 def test_average_checkpoints(converted):
@@ -425,3 +697,21 @@ def test_save_reference_checkpoint_torch_loadable(tmp_path, converted):
     np.testing.assert_allclose(
         np.asarray(merged["text_emb"]["word"]["embedding"]),
         np.asarray(params["text_emb"]["word"]["embedding"]), atol=1e-6)
+
+    # activation equality through the RELOADED torch golden — validates
+    # export *semantics* (transposes, naming), not just round-trip identity
+    rng = np.random.RandomState(7)
+    B, S, R = 2, 6, 4
+    x = rng.randint(4, VOCAB, (B, S))
+    feats = rng.randn(B, R, 2048).astype(np.float32)
+    locs = rng.rand(B, R, 5).astype(np.float32)
+    with torch.no_grad():
+        h_fresh = fresh.jointfwd(torch.from_numpy(x),
+                                 torch.from_numpy(feats),
+                                 torch.from_numpy(locs),
+                                 torch.ones(B, R + S))
+    h_j = model.apply({"params": params}, jnp.asarray(x),
+                      jnp.ones((B, S), bool), jnp.asarray(feats),
+                      jnp.asarray(locs), jnp.ones((B, R), bool),
+                      method=model.encode_joint)
+    np.testing.assert_allclose(np.asarray(h_j), h_fresh.numpy(), atol=2e-4)
