@@ -297,24 +297,36 @@ class Evaluator:
         hyps = self.generate_captions(params, batches, tokenizer, tgt_lang_id)
         n = min(len(hyps), len(references))
         # --coco_method selects which caption metrics to report
-        # (`xevaluator.py:1010`); names match the COCOEvalCap keys.  Only
-        # BLEU and CIDEr are implemented in-process; an unknown-only list
-        # (e.g. "Meteor") falls back to both rather than silently
-        # evaluating nothing (best-model tracking depends on these keys).
+        # (`xevaluator.py:1010-1016`); names match the COCOEvalCap keys:
+        # Bleu, METEOR, ROUGE_L, CIDEr (all four in-process; METEOR is the
+        # exact+stem variant — see eval/caption_metrics.py).  An
+        # unrecognized-only list falls back to the reference default
+        # (CIDEr, `train_x.py:337`) rather than silently evaluating nothing.
+        supported = {"bleu", "cider", "meteor", "rouge_l"}
         methods = {m.strip().lower() for m in
                    getattr(self.cfg.eval, "coco_method",
                            "Bleu,CIDEr").split(",") if m.strip()}
-        if not methods & {"bleu", "cider"}:
+        if not methods & supported:
             logger.warning(
                 "coco_method %r has no in-process metric (supported: "
-                "Bleu, CIDEr) — computing both",
+                "Bleu, METEOR, ROUGE_L, CIDEr) — computing CIDEr",
                 getattr(self.cfg.eval, "coco_method", ""))
-            methods = {"bleu", "cider"}
+            methods = {"cider"}
         scores: Dict[str, float] = {}
         if "bleu" in methods:
             scores["caption_bleu"] = corpus_bleu(hyps[:n], references[:n])
         if "cider" in methods:
             scores["caption_cider"] = cider_score(hyps[:n], references[:n])
+        if "meteor" in methods or "rouge_l" in methods:
+            from m3p_tpu.eval.caption_metrics import (meteor_score,
+                                                      rouge_l_score)
+
+            if "meteor" in methods:
+                scores["caption_meteor"] = meteor_score(hyps[:n],
+                                                        references[:n])
+            if "rouge_l" in methods:
+                scores["caption_rouge_l"] = rouge_l_score(hyps[:n],
+                                                          references[:n])
         return scores
 
     # -- slide ----------------------------------------------------------

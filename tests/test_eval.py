@@ -187,3 +187,60 @@ def test_retrieval_grid_length_bucketing_exact():
     ]
     np.testing.assert_allclose(parts[0] + parts[1], bucketed, atol=1e-6)
     assert (parts[0] == 0).any() and (parts[1] == 0).any()
+
+
+def test_rouge_l_and_meteor():
+    """ROUGE_L/METEOR complete the --coco_method surface
+    (`xevaluator.py:1005-1016`)."""
+    from m3p_tpu.eval.caption_metrics import (meteor_score, porter_stem,
+                                              rouge_l_score)
+
+    hyp = ["a red cat runs fast"]
+    assert rouge_l_score(hyp, [hyp[:]]) == 100.0
+    # ROUGE-L uses the BEST reference; word order matters through the LCS
+    good = rouge_l_score(["a red cat"], [["a red cat runs", "dog"]])
+    scrambled = rouge_l_score(["cat red a"], [["a red cat runs", "dog"]])
+    assert good > scrambled > 0
+
+    # METEOR: perfect match is ~100 (small fragmentation penalty), stem
+    # matching catches inflection, disjoint sentences score 0
+    assert meteor_score(hyp, [hyp[:]]) > 99.0
+    stemmy = meteor_score(["the cats running"], [["the cat runs"]])
+    assert stemmy > 90.0
+    assert meteor_score(["x y z"], [["a b c"]]) == 0.0
+    # fragmentation: scrambled hyp scores below the in-order hyp
+    in_order = meteor_score(["a red cat runs"], [["a red cat runs"]])
+    frag = meteor_score(["runs cat a red"], [["a red cat runs"]])
+    assert in_order > frag > 0
+
+    for word, stem in [("running", "run"), ("caresses", "caress"),
+                       ("ponies", "poni"), ("happy", "happi")]:
+        assert porter_stem(word) == stem, (word, porter_stem(word))
+
+
+def test_coco_method_selects_caption_metrics():
+    """--coco_method Bleu,METEOR,ROUGE_L,CIDEr reports all four keys."""
+    import dataclasses
+
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.eval.evaluator import Evaluator
+    from m3p_tpu.model import build_model
+
+    cfg = small_test_config()
+    cfg = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, coco_method="Bleu,METEOR,ROUGE_L,CIDEr"))
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    ev = Evaluator(model, cfg)
+    refs = [["a red cat"], ["a blue dog"]]
+    ev.generate_captions = lambda *a, **k: ["a red cat", "a blue dog"]
+
+    class Tok:
+        def decode(self, ids):
+            return ""
+
+    scores = ev.evaluate_captioning(params, [], refs, Tok())
+    assert set(scores) == {"caption_bleu", "caption_cider",
+                           "caption_meteor", "caption_rouge_l"}, scores
+    assert scores["caption_rouge_l"] == 100.0
+    # short perfect captions keep a small fragmentation penalty
+    assert scores["caption_meteor"] > 98.0
