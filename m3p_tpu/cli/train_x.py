@@ -236,8 +236,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_tensor", type=int, default=1)
-    p.add_argument("--mesh_seq", type=int, default=1)
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="sequence-parallel shards (ring attention); >1 "
+                        "routes every objective's encoder through SP")
     p.add_argument("--mesh_expert", type=int, default=1)
+    p.add_argument("--pp_stages", "--mesh_pp", type=int, default=1,
+                   dest="pp_stages",
+                   help="pipeline stages (GPipe over stage-sliced blocks)")
+    p.add_argument("--pp_microbatches", type=int, default=2)
     p.add_argument("--moe_experts", type=int, default=0,
                    help="expert-choice MoE FFN every --moe_interval blocks")
     p.add_argument("--moe_interval", type=int, default=2)
@@ -301,7 +307,8 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
                         accumulate_gradients=args.accumulate_gradients)
     mesh = MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                       tensor=args.mesh_tensor, seq=args.mesh_seq,
-                      expert=args.mesh_expert)
+                      expert=args.mesh_expert, pp=args.pp_stages,
+                      pp_microbatches=args.pp_microbatches)
     ev = EvalConfig(eval_only=args.eval_only, beam_size=args.beam_size,
                     length_penalty=args.length_penalty,
                     early_stopping=args.early_stopping,

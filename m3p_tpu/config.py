@@ -160,7 +160,9 @@ class MeshConfig:
       tensor— Megatron-style sharding of QKV / FFN matrices
       seq   — sequence/context parallelism (ring attention)
       expert— expert parallelism (MoE expert weights/compute)
-    Pipeline parallelism is expressed separately via stage slicing.
+      pp    — pipeline stages (GPipe schedule over stage-sliced blocks)
+    All axes compose in one step: seq/pp run manual shard_map over their
+    axis only, data/fsdp/tensor/expert stay automatic (jit sharding).
     """
 
     data: int = -1      # -1: all remaining devices
@@ -168,7 +170,10 @@ class MeshConfig:
     tensor: int = 1
     seq: int = 1
     expert: int = 1
-    axis_names: Tuple[str, ...] = ("data", "fsdp", "seq", "tensor", "expert")
+    pp: int = 1
+    pp_microbatches: int = 2   # GPipe microbatches when pp > 1
+    axis_names: Tuple[str, ...] = ("data", "fsdp", "seq", "tensor", "expert",
+                                   "pp")
 
 
 @dataclass

@@ -144,6 +144,28 @@ class M3PModel(nn.Module):
                 new_cache[f"layer_{i}"] = c
         return x, (new_cache if cache is not None else None)
 
+    def embed_text(
+        self,
+        tokens: jax.Array,
+        text_mask: jax.Array,
+        langs: Optional[jax.Array] = None,
+        positions: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        token_embeds: Optional[jax.Array] = None,
+        image_enc: Optional[jax.Array] = None,
+        image_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """The pre-block half of ``encode_text`` (embeddings + mask +
+        optional BiDAF fusion) — split out so sequence/pipeline parallelism
+        can run the block stack sharded (`m3p_tpu.parallel.sp/pipeline`)."""
+        x = self.text_emb(tokens, positions=positions, langs=langs,
+                          deterministic=deterministic,
+                          token_embeds=token_embeds)
+        x = x * text_mask[..., None].astype(x.dtype)
+        if image_enc is not None and image_mask is not None:
+            x = self.cross_align(x, image_enc, image_mask)
+        return x
+
     def encode_text(
         self,
         tokens: jax.Array,                    # (B, S) int32
@@ -161,12 +183,9 @@ class M3PModel(nn.Module):
     ) -> Tuple[jax.Array, Optional[Cache]]:
         """``image_enc``/``image_mask`` engage the BiDAF image->text fusion
         before the encoder stack (the reference ``image_fusion`` path)."""
-        x = self.text_emb(tokens, positions=positions, langs=langs,
-                          deterministic=deterministic,
-                          token_embeds=token_embeds)
-        x = x * text_mask[..., None].astype(x.dtype)
-        if image_enc is not None and image_mask is not None:
-            x = self.cross_align(x, image_enc, image_mask)
+        x = self.embed_text(tokens, text_mask, langs, positions,
+                            deterministic, token_embeds, image_enc,
+                            image_mask)
         return self._run_blocks(x, text_mask, causal=causal, src_enc=src_enc,
                                 src_mask=src_mask, cache=cache,
                                 deterministic=deterministic)
@@ -271,16 +290,22 @@ class M3PModel(nn.Module):
         img_mask: jax.Array,
         refine_image: bool = False,
         deterministic: bool = True,
+        token_embeds: Optional[jax.Array] = None,
+        feats_embeds: Optional[jax.Array] = None,
     ):
         """The embedding half of encode_joint (everything before the encoder
         stack) — used by the sequence-parallel path, which shards the
         resulting (B, R+S, D) activations over the seq axis and runs
         `run_blocks_only` inside shard_map."""
-        img = self.image_emb(feats, locs, deterministic=deterministic)
+        if feats_embeds is None:
+            img = self.image_emb(feats, locs, deterministic=deterministic)
+        else:
+            img = feats_embeds
         img = img * img_mask[..., None].astype(img.dtype)
         if refine_image:
             img = self.refiner(img, img_mask, deterministic=deterministic)
-        txt = self.text_emb.embed_tokens(tokens)
+        txt = (self.text_emb.embed_tokens(tokens)
+               if token_embeds is None else token_embeds)
         x = jnp.concatenate([img, txt.astype(img.dtype)], axis=1)
         positions = jnp.arange(x.shape[1])[None, :]
         x = x + self.text_emb.position(positions)

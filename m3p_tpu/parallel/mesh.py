@@ -20,7 +20,7 @@ from m3p_tpu.config import MeshConfig
 
 logger = logging.getLogger("m3p_tpu")
 
-AXES = ("data", "fsdp", "seq", "tensor", "expert")
+AXES = ("data", "fsdp", "seq", "tensor", "expert", "pp")
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -67,10 +67,12 @@ def auto_init_distributed() -> bool:
 
 
 def infer_mesh_shape(n_devices: int, cfg: Optional[MeshConfig] = None
-                     ) -> Tuple[int, int, int, int, int]:
-    """Resolve (data, fsdp, seq, tensor, expert) sizes; -1 absorbs the rest."""
+                     ) -> Tuple[int, ...]:
+    """Resolve (data, fsdp, seq, tensor, expert, pp) sizes; -1 absorbs the
+    rest."""
     cfg = cfg or MeshConfig()
-    sizes = [cfg.data, cfg.fsdp, cfg.seq, cfg.tensor, cfg.expert]
+    sizes = [cfg.data, cfg.fsdp, cfg.seq, cfg.tensor, cfg.expert,
+             getattr(cfg, "pp", 1)]
     fixed = 1
     free = None
     for i, s in enumerate(sizes):

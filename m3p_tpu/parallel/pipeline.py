@@ -115,6 +115,96 @@ def stack_block_params(params, n_layers: int):
     return stack_stage_params([params[f"block_{i}"] for i in range(n_layers)])
 
 
+def pp_run_blocks(
+    model,
+    params,
+    x: jax.Array,                 # (B, S, D)
+    mask: jax.Array,              # (B, S)
+    mesh,
+    axis: str = "pp",
+    n_microbatches: int = 2,
+) -> jax.Array:
+    """Run the encoder stack pipelined over the ``axis`` mesh axis.
+
+    Each stage holds n_layers/S consecutive blocks; microbatches stream
+    through in the GPipe schedule.  Requires B % n_microbatches == 0 and
+    n_layers % S == 0.  Deterministic mode only (dropout seeds would need
+    per-stage plumbing).  Manual only over ``axis`` (`axis_names={axis}`):
+    batch shardings over ``data`` etc. on the other mesh axes compose
+    automatically (a pp x data mesh pipelines data-sharded microbatches).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from m3p_tpu.model.layers import EncoderBlock
+
+    cfg = model.cfg
+    b = x.shape[0]
+    assert b % n_microbatches == 0, (b, n_microbatches)
+    n_stages = mesh.shape[axis]
+    assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
+
+    stacked = stack_block_params(params, cfg.n_layers)
+    mb = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
+    mb_mask = mask.reshape(n_microbatches, b // n_microbatches,
+                           mask.shape[1])
+
+    block = EncoderBlock(
+        n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
+        dropout=cfg.dropout, attention_dropout=cfg.attention_dropout,
+        gelu_activation=cfg.gelu_activation, has_cross_attention=True,
+        dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.dtype(cfg.param_dtype),
+        use_pallas=False)
+
+    def stage_fn(stage_params, payload):
+        h, mask_ = payload
+
+        def one_layer(h, layer_params):
+            out, _ = block.apply({"params": layer_params}, h, mask_,
+                                 False, None, None, None, True)
+            return out, None
+
+        h, _ = jax.lax.scan(one_layer, h, stage_params)
+        return h, mask_
+
+    out_mb, _ = shard_map(
+        lambda p, payload: spmd_pipeline(stage_fn, p, payload, axis),
+        mesh=mesh,
+        in_specs=(P(axis), (P(), P())),
+        out_specs=(P(), P()),
+        axis_names={axis},
+        check_vma=False,
+    )(stacked, (mb, mb_mask))
+    return out_mb.reshape(b, *x.shape[1:])
+
+
+from m3p_tpu.parallel.sp import ShardedStackModel
+
+
+class PPModel(ShardedStackModel):
+    """Pipeline-parallel model handle: the Trainer swaps this in when the
+    mesh has ``pp > 1`` (`--mesh_pp`/`--pp_stages`), so EVERY objective's
+    non-causal encoder stack runs the GPipe schedule.  Same duck-typed
+    ``apply(method=...)`` dispatch as `m3p_tpu.parallel.sp.ShardedStackModel`
+    (of which this is the PP specialisation).  PP forwards are deterministic
+    (per-stage dropout is not plumbed); embeddings/heads keep their dropout
+    rngs on the replicated path."""
+
+    def __init__(self, model, mesh, axis: str = "pp",
+                 n_microbatches: int = 2):
+        super().__init__(model)
+        self.mesh = mesh
+        self.axis = axis
+        self.n_microbatches = n_microbatches
+
+    def _blocks(self, variables, x, mask, deterministic, rngs):
+        params = (variables["params"]
+                  if isinstance(variables, dict) and "params" in variables
+                  else variables)
+        return pp_run_blocks(self.model, params, x, mask, self.mesh,
+                             self.axis, self.n_microbatches)
+
+
 def pipelined_encode_joint(
     model,
     params,
@@ -133,56 +223,13 @@ def pipelined_encode_joint(
 
     Embedding (incl. [img; text] concat and AoA refine) runs replicated; each
     pipeline stage holds n_layers/S consecutive blocks and microbatches of
-    the batch stream through them.  Requires B % n_microbatches == 0 and
-    n_layers % S == 0.  Deterministic mode only (dropout seeds would need
-    per-stage plumbing).
+    the batch stream through them.
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    from m3p_tpu.model.layers import EncoderBlock
-
-    cfg = model.cfg
     x, joint_mask = model.apply(
         {"params": params}, tokens, text_mask, feats, locs, img_mask,
         refine_image, deterministic, method=model.embed_joint)
-
-    b = x.shape[0]
-    assert b % n_microbatches == 0, (b, n_microbatches)
-    n_stages = mesh.shape[axis]
-    assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
-
-    stacked = stack_block_params(params, cfg.n_layers)
-    mb = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
-    mb_mask = joint_mask.reshape(n_microbatches, b // n_microbatches,
-                                 joint_mask.shape[1])
-
-    block = EncoderBlock(
-        n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
-        dropout=cfg.dropout, attention_dropout=cfg.attention_dropout,
-        gelu_activation=cfg.gelu_activation, has_cross_attention=True,
-        dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.dtype(cfg.param_dtype),
-        use_pallas=False)
-
-    def stage_fn(stage_params, payload):
-        h, mask = payload
-
-        def one_layer(h, layer_params):
-            out, _ = block.apply({"params": layer_params}, h, mask,
-                                 False, None, None, None, True)
-            return out, None
-
-        h, _ = jax.lax.scan(one_layer, h, stage_params)
-        return h, mask
-
-    out_mb, _ = shard_map(
-        lambda p, payload: spmd_pipeline(stage_fn, p, payload, axis),
-        mesh=mesh,
-        in_specs=(P(axis), (P(), P())),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )(stacked, (mb, mb_mask))
-    return out_mb.reshape(b, *x.shape[1:])
+    return pp_run_blocks(model, params, x, joint_mask, mesh, axis,
+                         n_microbatches)
 
 
 # ---------------------------------------------------------------------------

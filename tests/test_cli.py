@@ -315,15 +315,24 @@ def test_coco_method_selects_caption_metrics():
     ev.generate_captions = lambda *a, **k: ["red cat", "blue dog"]
     scores = ev.evaluate_captioning(None, [], [["red cat"], ["a dog"]], None)
     assert set(scores) == {"caption_cider"}
-    # unknown-only method lists fall back to both (best-model tracking
-    # depends on these keys) instead of silently evaluating nothing
-    cfg2 = cfg.replace(eval=dataclasses.replace(cfg.eval,
-                                                coco_method="Meteor"))
+    # the full COCOEvalCap method surface (`xevaluator.py:1005-1016`)
+    cfg2 = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, coco_method="Bleu,METEOR,ROUGE_L,CIDEr"))
     ev2 = Evaluator(model=None, cfg=cfg2)
     ev2.generate_captions = lambda *a, **k: ["red cat", "blue dog"]
     scores = ev2.evaluate_captioning(None, [], [["red cat"], ["a dog"]],
                                      None)
-    assert set(scores) == {"caption_bleu", "caption_cider"}
+    assert set(scores) == {"caption_bleu", "caption_cider",
+                           "caption_meteor", "caption_rouge_l"}
+    # unknown-only method lists fall back to the reference default (CIDEr,
+    # `train_x.py:337`) instead of silently evaluating nothing
+    cfg3 = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                                coco_method="SPICE"))
+    ev3 = Evaluator(model=None, cfg=cfg3)
+    ev3.generate_captions = lambda *a, **k: ["red cat", "blue dog"]
+    scores = ev3.evaluate_captioning(None, [], [["red cat"], ["a dog"]],
+                                     None)
+    assert set(scores) == {"caption_cider"}
 
 
 def test_save_every_epoch_pretrain_snapshots(tmp_path):

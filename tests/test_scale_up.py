@@ -1,6 +1,8 @@
 """Scale-up config (24L / 100-language / remat / FSDP+TP): the sharded train
-step must trace and shard correctly on the 8-device mesh (abstract lowering —
-no 390M-param execution in CI)."""
+step must trace and shard correctly on the 8-device mesh (abstract lowering
+for the full 390M-param width), and a thin-width 24L variant must EXECUTE a
+real sharded step end-to-end (round-2 VERDICT item 4 — traced-only is not
+executed).  The full-width on-chip run lives in tools/bench_scaleup.py."""
 
 import jax
 import jax.numpy as jnp
@@ -72,3 +74,61 @@ def test_scale_up_step_lowers_sharded(eight_devices):
         jax.ShapeDtypeStruct((2,), jnp.uint32))
     text = lowered.as_text()
     assert "dot_general" in text or "dot" in text
+
+
+def test_scale_up_thin_24l_step_executes(eight_devices):
+    """A thin-width (d=64) variant of the 24L/101-lang scale-up config runs a
+    REAL sharded MCT train step (remat on, FSDP=2 x TP=2 x data=2) on the 8
+    virtual devices — execution, not just lowering."""
+    import dataclasses
+
+    from m3p_tpu.model import build_model
+    from m3p_tpu.parallel.sharding import shard_train_state
+    from m3p_tpu.train.optim import build_optimizer
+    from m3p_tpu.train.state import create_train_state
+
+    cfg = scale_up_config()
+    thin = dataclasses.replace(
+        cfg.model, emb_dim=64, n_heads=4, n_words=512, mask_index=511,
+        dtype="float32", use_pallas_attention=False)
+    assert thin.n_layers == 24 and thin.n_langs == 101 and thin.remat
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=2, tensor=2), eight_devices)
+    model, params = build_model(thin, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer("adam_inverse_sqrt,lr=0.0001,warmup_updates=100",
+                            clip_grad_norm=5.0)
+
+    def abstract_init():
+        m = M3PModel(thin)
+        b, s, r = 2, 4, 2
+        return m.init(jax.random.PRNGKey(0), jnp.zeros((b, s), jnp.int32),
+                      jnp.ones((b, s), bool),
+                      jnp.zeros((b, r, 2048), jnp.float32),
+                      jnp.zeros((b, r, 5), jnp.float32),
+                      jnp.ones((b, r), bool), jnp.zeros((b, s), jnp.int32),
+                      method=_init_method)
+
+    pspecs = get_param_pspecs(abstract_init)
+    state, shardings = shard_train_state(
+        create_train_state(params, tx), mesh, pspecs)
+
+    mask_cfg = MaskingConfig(max_pred=4, n_words=thin.n_words,
+                             mask_index=thin.mask_index)
+    rng = np.random.RandomState(0)
+    batch_np = synthetic.make_pretrain_batch(rng, 4, 2, 12, 4, thin.n_words)
+    bsh = batch_sharding(mesh)
+    batch = {k: jax.device_put(jnp.asarray(v), bsh)
+             for k, v in batch_np.items()}
+
+    def loss_fn(params, b, key, **lam):
+        return S.mct_pretrain_loss(
+            model, params, b, key, mask_cfg, 2,
+            lambda_rel=1.0, lambda_mlm=1.0, lambda_mrm=1.0,
+            lambda_mrfr=1.0, lambda_clcm=1.0, refine_image=True)
+
+    step = S.make_train_step(loss_fn, donate=False,
+                             state_shardings=shardings)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    spec = new_state.params["block_23"]["attn"]["q_lin"]["kernel"].sharding
+    assert "tensor" in str(spec.spec)
