@@ -269,9 +269,17 @@ def make_grain_loader(
     # drop_remainder applies PER WORKER (each worker batches its strided
     # record subset): with too many workers a small dataset yields ZERO
     # batches (e.g. 8 records / 4 workers / batch 4).  Cap workers so each
-    # can fill at least one batch.
+    # can fill at least one batch — from the PER-PROCESS record count:
+    # ShardByJaxProcess splits `source` across hosts BEFORE workers stride
+    # it, so a 16-record shard on 4 processes feeds each worker pool only
+    # 4 records (found by the 4-process multi-host test, which got zero
+    # batches at worker_count=4).
     if worker_count > 0:
-        worker_count = min(worker_count, len(source) // max(batch_size, 1))
+        import jax
+
+        per_process = len(source) // (jax.process_count()
+                                      if shard_by_process else 1)
+        worker_count = min(worker_count, per_process // max(batch_size, 1))
 
     sampler = gp.IndexSampler(
         num_records=len(source),

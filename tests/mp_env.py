@@ -10,10 +10,10 @@ import os
 import sys
 
 
-def setup(pid: str, nproc: str, port: str) -> None:
+def setup(pid: str, nproc: str, port: str, ndev: int = 4) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4")
+        + f" --xla_force_host_platform_device_count={ndev}")
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
     os.environ["JAX_NUM_PROCESSES"] = str(nproc)
     os.environ["JAX_PROCESS_ID"] = str(pid)
