@@ -309,11 +309,18 @@ class CaptionDataset:
     def __init__(self, captions: Dict[str, List[str]],
                  store: RegionFeatureStore, tokenizer, lang: str = "en",
                  max_len: int = 64, clager: Optional[Clager] = None,
-                 seed: int = 0, region_noise: bool = False):
+                 seed: int = 0, region_noise: bool = False,
+                 lang_id: Optional[int] = None):
         self.captions = captions
         self.store = store
         self.tokenizer = tokenizer
         self.lang = lang
+        # the reference trains the caption decoder WITH language embeddings
+        # (`ic_step`: ``langs = x2.clone().fill_(lang1_id)``,
+        # `xtrainer.py:1464-1470`) and decodes with the same lang id; when
+        # ``lang_id`` is set, batches carry a matching ``langs`` plane so the
+        # train-time and decode-time (`tgt_lang_id`) embeddings agree.
+        self.lang_id = lang_id
         self.max_len = max_len
         self.clager = clager
         self.seed = seed
@@ -349,13 +356,16 @@ class CaptionDataset:
                 from m3p_tpu.data.span_masking import poisson_region_noise
 
                 feats = poisson_region_noise(rng, feats, img_len)
-            yield {
+            out = {
                 "tokens": tokens,
                 "tgt_len": lengths,
                 "feats": feats,
                 "locs": np.stack([r["locs"] for r in region]),
                 "img_len": img_len,
             }
+            if self.lang_id is not None:
+                out["langs"] = np.full_like(tokens, self.lang_id)
+            yield out
 
 
 class PretrainCaptionDataset(CaptionDataset):

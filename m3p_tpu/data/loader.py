@@ -509,7 +509,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                         n_feeders=jax.process_count(),
                         feeder_id=jax.process_index(), lang=lang,
                         max_len=cfg.data.max_len, clager=clager,
-                        seed=cfg.seed, region_noise=(task == "bart_img"))
+                        seed=cfg.seed, region_noise=(task == "bart_img"),
+                        lang_id=cfg.lang2id.get(lang))
                 continue
             captions = _captions_for(cfg, root, name, train_split, lang,
                                      store)
@@ -519,7 +520,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 CaptionDataset(
                     captions, store, tokenizer, lang=lang,
                     max_len=cfg.data.max_len, clager=clager, seed=cfg.seed,
-                    region_noise=(task == "bart_img"))
+                    region_noise=(task == "bart_img"),
+                    lang_id=cfg.lang2id.get(lang))
             if task != "ic":
                 continue
             test_store = cap_store("test")
@@ -546,7 +548,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                                        valid_store, warn=False)
             if valid_caps:
                 vds = CaptionDataset(valid_caps, valid_store, tokenizer,
-                                     lang=lang, max_len=cfg.data.max_len)
+                                     lang=lang, max_len=cfg.data.max_len,
+                                     lang_id=cfg.lang2id.get(lang))
                 eval_put("caption_batches", lang, list(vds.epoch_iterator(
                     cfg.data.batch_size))[:n_eval])
 

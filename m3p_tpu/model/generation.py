@@ -7,11 +7,23 @@ KV cache; beam search follows the standard 2K-candidate scheme with
 `BeamHypotheses`-style length-penalized finished pools and early stopping.
 
 Conventions preserved from the reference:
-  * decoding starts from EOS (EOS-as-BOS, `transformer.py:1251-1254`)
   * a sequence ends at the first generated EOS; finished rows keep decoding
     but their outputs are frozen
   * length penalty: score = logp / len^alpha (`BeamHypotheses.add`,
     `transformer.py:1520-1535`)
+
+Deliberate deviation — the DECODE START TOKEN: the reference starts
+generation from EOS (`generated[0].fill_(self.eos_index)`,
+`transformer.py:1251-1254` — a convention inherited from XLM, whose
+batch format was `</s> w ... </s>`), but every M3P `batch_sentences`
+variant trains the decoder on `<s> w ... </s>` targets
+(`xtrainer.py:829-853`, `dataset_finetune.py:1180-1196` — position 0 is
+`<s>`=0, not `</s>`=2).  Decoding from a token the decoder never saw at
+position 0 makes a from-scratch-trained model emit EOS immediately
+(measured: every caption empty on a trained checkpoint).  We therefore
+default ``start_index`` to BOS to match the training distribution;
+pass ``start_index=EOS_IDX`` for bug-compatible reference decoding
+(the checkpoint-converter parity tests do).
 """
 
 from __future__ import annotations
@@ -22,7 +34,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from m3p_tpu.config import EOS_IDX, PAD_IDX
+from m3p_tpu.config import BOS_IDX, EOS_IDX, PAD_IDX
 from m3p_tpu.model.transformer import as_variables
 
 NEG_INF = -1.0e7
@@ -52,15 +64,18 @@ def greedy_generate(
     rng: Optional[jax.Array] = None,
     eos_index: int = EOS_IDX,
     pad_index: int = PAD_IDX,
+    start_index: int = BOS_IDX,
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy (or temperature-sampled) decoding.
 
-    Returns (tokens (B, max_len), lengths (B,)).  tokens[:, 0] == EOS
-    (the reference's EOS-as-BOS start convention)."""
+    Returns (tokens (B, max_len), lengths (B,)).  tokens[:, 0] ==
+    ``start_index`` — BOS by default to match the training target format;
+    pass EOS_IDX for the reference's (buggy) EOS-as-BOS decode (see module
+    docstring)."""
     b = src_enc.shape[0]
     cache = model.apply(as_variables(params), src_enc, max_len,
                         method=model.init_decode_cache)
-    init_tokens = jnp.full((b, 1), eos_index, jnp.int32)
+    init_tokens = jnp.full((b, 1), start_index, jnp.int32)
 
     def body(carry, t):
         tokens, finished, cache, key = carry
@@ -83,10 +98,10 @@ def greedy_generate(
     (_, finished, _, _), toks = jax.lax.scan(
         body, carry, jnp.arange(max_len - 1))
     toks = toks.T  # (B, max_len-1)
-    out = jnp.concatenate([jnp.full((b, 1), eos_index, jnp.int32), toks],
+    out = jnp.concatenate([jnp.full((b, 1), start_index, jnp.int32), toks],
                           axis=1)
-    # length = position of first generated EOS + 2 (leading EOS + final EOS),
-    # capped at max_len for unfinished rows
+    # length = position of first generated EOS + 2 (leading start token +
+    # final EOS), capped at max_len for unfinished rows
     is_eos = out[:, 1:] == eos_index
     first_eos = jnp.argmax(is_eos, axis=1)
     has_eos = jnp.any(is_eos, axis=1)
@@ -142,9 +157,12 @@ def beam_search(
     fast_topk: bool = False,
     eos_index: int = EOS_IDX,
     pad_index: int = PAD_IDX,
+    start_index: int = BOS_IDX,
 ) -> Tuple[jax.Array, jax.Array]:
     """Beam search; returns the best hypothesis per row:
-    (tokens (B, max_len), lengths (B,)).
+    (tokens (B, max_len), lengths (B,)).  tokens[:, 0] == ``start_index``
+    — BOS by default to match the training target format (see module
+    docstring).
 
     Scoring matches the reference: finished hypotheses are ranked by
     sum-logp / len^alpha where len counts generated tokens incl. final EOS.
@@ -180,7 +198,7 @@ def beam_search(
     # beam 0 active, others -inf so step 1 picks distinct continuations
     init_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1)), (b,))  # (BK,)
     seqs = jnp.full((bk, max_len), pad_index, jnp.int32)
-    seqs = seqs.at[:, 0].set(eos_index)
+    seqs = seqs.at[:, 0].set(start_index)
 
     fin_seqs = jnp.full((bk, max_len), pad_index, jnp.int32)
     fin_scores = jnp.full((bk,), NEG_INF)

@@ -419,7 +419,8 @@ def test_greedy_ids_match_torch_decode(converted):
             finished |= nxt == 2
 
     jt, jl = greedy_generate(model, params, jnp.asarray(src_enc),
-                             jnp.ones((B, Ss), bool), MAXLEN, tgt_lang_id=1)
+                             jnp.ones((B, Ss), bool), MAXLEN, tgt_lang_id=1,
+                             start_index=2)  # reference EOS-as-BOS decode
     jt = np.asarray(jt)
     for b in range(B):
         upto = min(int(jl[b]), MAXLEN)

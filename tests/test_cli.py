@@ -283,6 +283,45 @@ def test_eval_images_caps_retrieval_grid(tmp_path):
     assert cap_tokens.shape[0] == 3 * 2      # seq_per_img captions each
 
 
+def test_caption_train_langs_match_eval_decode_lang(tmp_path):
+    """The caption TRAIN batches must carry the same lang ids the caption
+    eval decodes with (`ic_step` trains the decoder WITH lang embeddings,
+    `xtrainer.py:1464-1470`; `evaluate_image_caption` decodes with the
+    language's id).  A mismatch decodes with an embedding the model never
+    trained — regression for the empty-caption decode bug."""
+    import pickle
+    from m3p_tpu.data.features import write_feature_shard
+
+    vocab = _mini_corpus(tmp_path)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "coco"
+    root.mkdir()
+    n, r = 6, 4
+    write_feature_shard(
+        str(root / "train.h5"),
+        features=rng.randn(n, r, 2048).astype(np.float32),
+        boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+        num_boxes=np.full(n, r, np.int64),
+        wh=np.full((n, 2), 100, np.float32),
+        image_ids=[f"i{k}" for k in range(n)],
+        objects=rng.randint(0, 1600, (n, r)),
+    )
+    caps = {f"i{k}": ["red cat runs", "blue dog"] for k in range(n)}
+    for split in ("train", "test"):
+        with open(root / f"{split}.en.pkl", "wb") as f:
+            pickle.dump(caps, f)
+    argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "de-en", "--cross_modal_steps", "coco-img",
+            "--is_generation", "True", "--max_region_num", str(r)]
+    cfg = args_to_config(get_parser().parse_args(argv))
+    data = load_data(cfg)
+    (key,) = [k for k in data.train_datasets if k[0] == "ic"]
+    b = next(data.train_datasets[key].epoch_iterator(batch_size=2))
+    lang_id = cfg.lang2id["en"]
+    assert "langs" in b and (b["langs"] == lang_id).all()
+    assert data.eval_data["caption_gen.en"]["lang_id"] == lang_id
+
+
 def test_use_noise_bart_transform():
     """--use_noise word-noises the BART source (`xtrainer.py:1617`)."""
     from m3p_tpu.data.loader import make_bart_transform

@@ -159,6 +159,15 @@ def test_caption_and_stream_and_parallel(tokenizer, store, captions):
     cap = CaptionDataset(captions, store, tokenizer, max_len=16)
     b = next(cap.epoch_iterator(batch_size=4))
     assert b["tokens"].shape == (4, 16) and b["feats"].shape[0] == 4
+    assert "langs" not in b  # no lang_id -> no langs plane
+
+    # with lang_id the batch carries the decoder lang embedding plane the
+    # reference trains with (`ic_step` langs.fill_(lang1_id),
+    # `xtrainer.py:1464-1470`) — must match eval's tgt_lang_id decode
+    cap_l = CaptionDataset(captions, store, tokenizer, max_len=16, lang_id=3)
+    bl = next(cap_l.epoch_iterator(batch_size=4))
+    assert bl["langs"].shape == bl["tokens"].shape
+    assert (bl["langs"] == 3).all()
 
     stream = StreamDataset(np.arange(1000) % 50 + 4, bptt=16)
     sb = next(stream.epoch_iterator(batch_size=4))

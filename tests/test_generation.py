@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from m3p_tpu.config import EOS_IDX, PAD_IDX, small_test_config
+from m3p_tpu.config import BOS_IDX, EOS_IDX, PAD_IDX, small_test_config
 from m3p_tpu.model import build_model
 from m3p_tpu.model.generation import beam_search, greedy_generate
 
@@ -29,7 +29,7 @@ def test_greedy_shapes_and_eos(setup):
     toks, lens = greedy_generate(model, params, src_enc, src_mask, max_len,
                                  tgt_lang_id=0)
     assert toks.shape == (3, max_len)
-    assert bool(jnp.all(toks[:, 0] == EOS_IDX))
+    assert bool(jnp.all(toks[:, 0] == BOS_IDX))
     assert bool(jnp.all(lens >= 2)) and bool(jnp.all(lens <= max_len))
     # after the first generated EOS everything must be PAD
     t = np.asarray(toks)
@@ -47,7 +47,7 @@ def test_greedy_matches_manual_argmax_decode(setup):
                               tgt_lang_id=0)
     # manual: full causal re-encode each step, no cache
     b = src_enc.shape[0]
-    cur = jnp.full((b, 1), EOS_IDX, jnp.int32)
+    cur = jnp.full((b, 1), BOS_IDX, jnp.int32)
     finished = np.zeros(b, bool)
     manual = [cur]
     for t in range(max_len - 1):
@@ -74,7 +74,7 @@ def test_beam_search_runs_and_beats_greedy(setup):
                              max_len=max_len, tgt_lang_id=0,
                              length_penalty=1.0)
     assert toks.shape == (3, max_len)
-    assert bool(jnp.all(toks[:, 0] == EOS_IDX))
+    assert bool(jnp.all(toks[:, 0] == BOS_IDX))
     assert bool(jnp.all(lens >= 2)) and bool(jnp.all(lens <= max_len))
 
 
@@ -130,3 +130,19 @@ def test_beam_rows_independent_and_permutation_equivariant(setup):
                                  beam_size=3, max_len=10, tgt_lang_id=0)
     np.testing.assert_array_equal(np.asarray(toks_1)[0], np.asarray(toks)[1])
     assert int(lens_1[0]) == int(lens[1])
+
+
+def test_decode_start_matches_training_targets(setup):
+    """The default decode start token must equal position 0 of the training
+    targets (batch_sentences).  The reference decodes from EOS while every
+    batch_sentences variant trains on <s>-start targets
+    (transformer.py:1251-1254 vs xtrainer.py:829-853) — a from-scratch model
+    then emits EOS immediately and every caption is empty (measured).  Guard
+    the two conventions against drifting apart again."""
+    from m3p_tpu.tokenization.tokenizer import batch_sentences
+
+    cfg, model, params, src_enc, src_mask = setup
+    target_toks, _, _ = batch_sentences([[5, 6, 7]], max_len=8)
+    toks, _ = greedy_generate(model, params, src_enc, src_mask, 8,
+                              tgt_lang_id=0)
+    assert int(toks[0, 0]) == int(target_toks[0][0]) == BOS_IDX

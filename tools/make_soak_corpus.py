@@ -80,7 +80,15 @@ def _image(rng, dirs, n_regions, k, learnable, signal=3.0, sigma=0.05,
     return feats, region_concepts.astype(np.int32), concepts
 
 
-def _captions(rng, concepts, lang, learnable, n=5):
+def _captions(rng, concepts, lang, learnable, n=5, deterministic=False):
+    if deterministic:
+        # one caption, fully determined by the image: concept words in
+        # sorted-index order, no fillers, repeated for all n references.
+        # Drives caption-generation CE to ~0 so decode-quality benches
+        # (BLEU/CIDEr deltas) measure the decoder, not irreducible entropy.
+        words = [CONCEPTS[c][0 if lang == "en" else 1]
+                 for c in sorted(concepts)]
+        return [" ".join(words)] * n
     out = []
     for _ in range(n):
         if learnable:
@@ -118,7 +126,9 @@ def write_split(root, name, n_images, rng, dirs, args, id_prefix):
         feats.append(f); boxes.append(b); whs.append(wh)
         objs.append(o); ids.append(img_id)
         for lang in ("en", "de"):
-            caps[lang][img_id] = _captions(rng, concepts, lang, args.learnable)
+            caps[lang][img_id] = _captions(
+                rng, concepts, lang, args.learnable,
+                deterministic=getattr(args, "det_captions", False))
     num_boxes = np.full((n_images,), args.regions, np.int32)
     write_feature_shard(
         os.path.join(root, f"{name}.h5"), np.stack(feats), np.stack(boxes),
@@ -144,6 +154,10 @@ def main(argv=None):
                    help="skip the abs(): near-orthogonal concept directions "
                         "(easier for from-scratch models)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--det-captions", action="store_true",
+                   help="captions fully determined by the image (sorted "
+                        "concept words, no fillers/shuffle): near-zero "
+                        "irreducible caption CE, for decode-quality benches")
     p.add_argument("--pretrain-shards", type=int, default=0,
                    help="also write N google/ pretrain shards + train_order")
     p.add_argument("--shard-images", type=int, default=150)
