@@ -136,7 +136,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch_size", type=int, default=0)
     p.add_argument("--tokens_per_batch", type=int, default=-1)
     p.add_argument("--split_data", type=bool_flag, default=False)
-    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="grain read threads (in-process; reference semantics"
+                        " of DataLoader worker processes measured 7-20x"
+                        " slower at region-feature shapes)")
 
     # optimization
     p.add_argument("--optimizer", type=str,

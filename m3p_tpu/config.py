@@ -201,7 +201,10 @@ class DataConfig:
     mct_sent_ratio: float = 0.5
     mct_word_ratio: float = 0.3
     seed: int = 12345
-    num_workers: int = 4
+    # background READ THREADS for the grain pipeline (in-process assembly;
+    # grain_pipeline.py documents why worker processes lose at these shapes).
+    # 1 reader already out-feeds the chip ~2x; raise only for slow real IO.
+    num_workers: int = 1
     # Grain input pipeline (deterministic, checkpointable, sharded); the
     # thread prefetcher is the fallback for unsupported dataset objects
     use_grain: bool = True

@@ -1,23 +1,33 @@
-"""Grain-based input pipeline: deterministic, checkpointable, multi-worker.
+"""Grain-based input pipeline: deterministic, checkpointable, prefetched.
 
 The production input path (the thread prefetcher in `m3p_tpu.data.pipeline`
 remains the lightweight fallback for exotic dataset objects): every dataset
-family exposes a random-access row/grid view, Grain handles sharding
-(`ShardByJaxProcess`), shuffling, worker processes and batching, and the
-resulting iterator state is checkpointable alongside the train state — the
-TPU-native replacement for the reference's forked DataLoader workers +
-per-rank h5 shard bookkeeping (`dataset_utils.py:51-140`,
-`dataset_pretrain.py:210-226`), with the resumability the reference never had.
+family exposes a random-access row/grid view, Grain's lazy ``MapDataset``
+pipeline handles sharding (per-process slice), shuffling, batching and
+background read prefetch, and the resulting iterator state is checkpointable
+alongside the train state — the TPU-native replacement for the reference's
+forked DataLoader workers + per-rank h5 shard bookkeeping
+(`dataset_utils.py:51-140`, `dataset_pretrain.py:210-226`), with the
+resumability the reference never had.
+
+Why threads, not worker processes: one record at flagship shapes carries
+~3 MB of region features, so Grain's multiprocess workers spend their time
+pickling/shm-copying batches back to the parent — measured 7-20x SLOWER
+than in-process assembly (36-110 vs 781 joint rows/s at 100 regions,
+tools/bench_host_pipeline.py).  The lazy in-process pipeline with
+background read threads measured 1514 joint rows/s at the same operating
+point (~1.9x the chip's 793 rows/s consume rate): h5py and the big numpy
+copies release the GIL, and nothing is serialized.  ``worker_count``
+therefore now sizes the READ THREAD pool (1 is usually right; more helps
+only when record IO blocks on a real filesystem).
 
 Determinism contract: record ``key`` -> per-record PRNG
 ``RandomState(seed * 1000003 + key)``, so any record rebuilds identically
-under shuffling, sharding, and mid-epoch resume. That guarantee is
-*per-record*; **batch composition** additionally depends on
-``worker_count`` (each Grain worker batches its own strided subset of the
-record stream and drop_remainder applies per worker), so batch-level
-reproducibility holds only for a fixed worker_count — and a checkpointed
-iterator state is only restorable into a loader built with the same
-worker_count (the Trainer falls back to a fresh iterator otherwise).
+under shuffling, sharding, and mid-epoch resume.  Batch composition is a
+pure function of (seed, epoch, process topology) — unlike the legacy
+multiprocess path it does NOT depend on the thread count.  Checkpointed
+iterator states from the pre-lazy loader are not restorable; the Trainer
+falls back to a fresh iterator (losing only mid-epoch position).
 """
 
 from __future__ import annotations
@@ -58,15 +68,6 @@ class RowSource(gp.RandomAccessDataSource):
                 f"row={getattr(self._row_fn, '__qualname__', 'row')})")
 
 
-class _Flatten(gp.MapTransform):
-    """(groups, rows_per_group, ...) stacked grid leaves -> grid-flattened
-    (groups * rows, ...) batches (drops the length-1 group dims too)."""
-
-    def map(self, batch):
-        return _tree_map_arrays(
-            lambda v: v.reshape(-1, *v.shape[2:]), batch)
-
-
 def _tree_map_arrays(fn, tree):
     if isinstance(tree, dict):
         return {k: _tree_map_arrays(fn, v) for k, v in tree.items()}
@@ -75,11 +76,16 @@ def _tree_map_arrays(fn, tree):
     return fn(tree)
 
 
-class _PairTuple(gp.MapTransform):
-    """{"t2i": ..., "i2t": ...} -> the (t2i, i2t) tuple the Trainer steps."""
-
-    def map(self, batch):
-        return (batch["t2i"], batch["i2t"])
+def _grid_batch_fn(rows) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """List of per-anchor {"t2i": grid, "i2t": grid} records -> the
+    grid-flattened (t2i, i2t) batch tuple the Trainer steps.  Each record's
+    grid leaves already carry the rows_per_group leading dim, so batching is
+    a single concatenate per leaf (same layout as stack+reshape)."""
+    out = []
+    for key in ("t2i", "i2t"):
+        out.append({leaf: np.concatenate([r[key][leaf] for r in rows], axis=0)
+                    for leaf in rows[0][key]})
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -228,80 +234,81 @@ def make_grain_loader(
     epoch: int = 0,
     with_clcm: bool = False,
     num_epochs: Optional[int] = 1,
-    worker_count: int = 0,
+    worker_count: int = 1,
     shard_by_process: bool = True,
-) -> gp.DataLoader:
-    """Build the Grain DataLoader for any supported dataset family.
+):
+    """Build the lazy Grain pipeline for any supported dataset family.
 
     Grid datasets (retrieval/pretrain/MILD) yield (t2i, i2t) batch tuples of
     BN = batch_size * sample_n rows; row datasets yield plain batch dicts.
     Epoch-shard datasets (`PretrainDataset.update`) switch shards here, like
     the per-epoch iterator rebuild does.
+
+    ``worker_count`` sizes the background READ THREAD pool (records are
+    assembled in-process — see the module docstring for why processes lose);
+    it does not affect batch composition.  Returns an ``IterDataset`` —
+    ``iter()`` it for a checkpointable iterator (get_state/set_state).
     """
     row_seed = seed * 31 + epoch
-    operations: list = []
+    batch_fn = None
     if isinstance(dataset, RetrievalDataset):  # incl. Pretrain/MILD
         if isinstance(dataset, PretrainDataset):
             dataset.update(epoch)
         source = _grid_pair_source(dataset, row_seed, with_clcm)
-        operations = [gp.Batch(batch_size=batch_size, drop_remainder=True),
-                      _Flatten(), _PairTuple()]
+        batch_fn = _grid_batch_fn
     elif isinstance(dataset, CaptionDataset):
         if hasattr(dataset, "update"):   # PretrainCaptionDataset shards
             dataset.update(epoch)
         source = _caption_source(dataset, row_seed)
-        operations = [gp.Batch(batch_size=batch_size, drop_remainder=True)]
     elif isinstance(dataset, SlideDataset):
         source = _slide_source(dataset, row_seed)
-        operations = [gp.Batch(batch_size=batch_size, drop_remainder=True)]
     elif isinstance(dataset, PCDataset):
         source = _pc_source(dataset, row_seed)
-        operations = [gp.Batch(batch_size=batch_size, drop_remainder=True)]
     elif isinstance(dataset, ParallelDataset):
         source = _parallel_source(dataset, row_seed)
-        operations = [gp.Batch(batch_size=batch_size, drop_remainder=True)]
     elif isinstance(dataset, StreamDataset):  # incl. NoisedStreamDataset
         source = _stream_source(dataset, row_seed)
-        operations = [gp.Batch(batch_size=batch_size, drop_remainder=True)]
     else:
         raise TypeError(f"no grain source for {type(dataset).__name__}")
 
-    # drop_remainder applies PER WORKER (each worker batches its strided
-    # record subset): with too many workers a small dataset yields ZERO
-    # batches (e.g. 8 records / 4 workers / batch 4).  Cap workers so each
-    # can fill at least one batch — from the PER-PROCESS record count:
-    # ShardByJaxProcess splits `source` across hosts BEFORE workers stride
-    # it, so a 16-record shard on 4 processes feeds each worker pool only
-    # 4 records (found by the 4-process multi-host test, which got zero
-    # batches at worker_count=4).
-    if worker_count > 0:
+    md = gp.MapDataset.source(source)
+    if shard_by_process:
         import jax
 
-        per_process = len(source) // (jax.process_count()
-                                      if shard_by_process else 1)
-        worker_count = min(worker_count, per_process // max(batch_size, 1))
-
-    sampler = gp.IndexSampler(
-        num_records=len(source),
-        shard_options=(gp.ShardByJaxProcess(drop_remainder=True)
-                       if shard_by_process else gp.NoSharding()),
-        shuffle=True,
-        num_epochs=num_epochs,
-        seed=seed + epoch,
-    )
+        # strided per-process slice: disjoint, balanced to within one record
+        md = md.slice(slice(jax.process_index(), None, jax.process_count()))
+    md = md.shuffle(seed=seed + epoch)
+    md = md.repeat(num_epochs)
+    md = md.batch(batch_size, drop_remainder=True, batch_fn=batch_fn)
     logging.getLogger("m3p_tpu").info(
-        "grain loader: %s n=%d bs=%d workers=%d (batch composition is "
-        "reproducible only for a fixed worker_count)",
-        type(dataset).__name__, len(source), batch_size, worker_count)
-    return gp.DataLoader(data_source=source, sampler=sampler,
-                         operations=operations, worker_count=worker_count)
+        "grain loader: %s n=%d bs=%d read_threads=%d",
+        type(dataset).__name__, len(source), batch_size,
+        max(1, worker_count))
+    # keep the record prefetch window small: a flagship grid record is ~3 MB
+    return md.to_iter_dataset(read_options=gp.ReadOptions(
+        num_threads=max(1, worker_count),
+        prefetch_buffer_size=min(4 * batch_size, 128)))
 
 
 def save_loader_state(iterator) -> str:
-    """Serialize a PyGrainDatasetIterator's position (resumable input)."""
-    state = iterator.get_state()
-    return state.decode() if isinstance(state, bytes) else str(state)
+    """Serialize a grain DatasetIterator's position (resumable input)."""
+    import json
+
+    return json.dumps(iterator.get_state())
 
 
 def restore_loader_state(iterator, state: str) -> None:
-    iterator.set_state(state.encode() if isinstance(state, str) else state)
+    """Seek ``iterator`` to a position saved by `save_loader_state`.
+
+    Raises ValueError on states written by an incompatible loader (e.g. the
+    pre-lazy multiprocess format) — the Trainer catches it and falls back to
+    a fresh iterator."""
+    import json
+
+    try:
+        iterator.set_state(json.loads(state) if isinstance(state, str)
+                           else state)
+    except ValueError:
+        raise
+    except Exception as e:  # grain raises various types on format mismatch
+        raise ValueError(f"loader state not restorable: {e}") from e

@@ -536,7 +536,7 @@ class Trainer:
             for ti in order:
                 kind, task = tasks[ti]
                 self.step_once(kind, task)
-                if self._pending_save:
+                if self._should_save_now():
                     self.save_checkpoint()
                     self._pending_save = False
                 if self.n_sentences >= self.cfg.epoch_size:
@@ -549,9 +549,27 @@ class Trainer:
     def checkpoint_path(self, name: str = "checkpoint") -> str:
         return os.path.join(self.cfg.dump_path, name)
 
+    def _should_save_now(self) -> bool:
+        """Whether to checkpoint at THIS step boundary.  The Orbax save is
+        collective, so in multi-process runs the decision must be too: SIGTERM
+        delivery can straddle a step boundary (process A checks its flag after
+        step k, process B's handler fires a hair later), and a lone process
+        entering the save barrier while the rest block in step k+1's psum is a
+        deadlock.  A 1-float allgather per step makes every process see "any
+        rank pending" at the same boundary."""
+        if jax.process_count() == 1:
+            return self._pending_save
+        from jax.experimental import multihost_utils
+
+        flag = multihost_utils.process_allgather(
+            np.float32(self._pending_save))
+        return bool(np.max(flag) > 0)
+
     def save_checkpoint(self, name: str = "checkpoint") -> None:
         from m3p_tpu.data.grain_pipeline import save_loader_state
 
+        logger.info("checkpointing at iter %d (%d sentences)",
+                    self.n_total_iter, self.n_sentences)
         loader_state = {}
         for task, git in self._grain_iterators.items():
             try:
@@ -590,15 +608,14 @@ class Trainer:
                     try:
                         restore_loader_state(self._grain_iterators[task], st)
                     except ValueError as e:
-                        # grain refuses set_state across a worker_count
-                        # change (the state encodes per-worker positions);
-                        # fall back to a fresh iterator — only the mid-epoch
-                        # position is lost, not correctness
+                        # states from an incompatible loader generation
+                        # (e.g. the pre-lazy multiprocess format) don't
+                        # restore; fall back to a fresh iterator — only the
+                        # mid-epoch position is lost, not correctness
                         logger.warning(
                             "loader state for %s not restorable (%s) - "
-                            "restarting that iterator from the epoch head; "
-                            "was the checkpoint written with a different "
-                            "num_workers?", task, e)
+                            "restarting that iterator from the epoch head",
+                            task, e)
             logger.info("resumed MID-EPOCH from %s (epoch %d, %d sentences, "
                         "%d loader states)", path, self.epoch, n_sent,
                         len(loader_state))

@@ -34,7 +34,8 @@ def main(argv=None):
     p.add_argument("--max_len", type=int, default=64)
     p.add_argument("--regions", type=int, default=100)
     p.add_argument("--batches", type=int, default=30)
-    p.add_argument("--workers", default="0,4,8")
+    p.add_argument("--workers", default="1,2,4",
+                   help="read-thread counts to sweep")
     args = p.parse_args(argv)
 
     from m3p_tpu.data.clag import Clager
@@ -68,7 +69,7 @@ def main(argv=None):
             t2i, i2t = next(it)
             n += t2i["tokens"].shape[0] + i2t["tokens"].shape[0]
         dt = time.perf_counter() - t0
-        print(f"workers={wc}: {n / dt:7.1f} joint rows/s "
+        print(f"read_threads={wc}: {n / dt:7.1f} joint rows/s "
               f"({args.batches / dt:.2f} batches/s of {args.groups} grid "
               f"pairs = {args.groups * rows_per_record} rows)")
         del it, loader
