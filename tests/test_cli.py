@@ -573,3 +573,85 @@ def test_mild_end_to_end(tmp_path):
     assert any("cider" in k for k in scores), scores
     for v in scores.values():
         assert np.isfinite(v), scores
+
+
+def test_mild_eval_conventions(tmp_path):
+    """MILD eval-grid semantics (`MILD_finetune.py:944-974`): the test grid
+    is built at seq_per_img=1 — exactly ONE positive caption per image
+    (`pos_cap_label[index*seq_per_img : +seq_per_img]` with seq_per_img=1) —
+    regardless of the retrieval default (5); qp_type controls the SCORED
+    text in both train and eval grids; and R@k over that 1-positive grid
+    reduces exactly."""
+    from m3p_tpu.data.datasets import MILDDataset
+    from m3p_tpu.data.features import write_feature_shard
+    from m3p_tpu.eval.retrieval import recall_at_k
+    from m3p_tpu.tokenization.unigram import train_unigram
+
+    vocab = str(tmp_path / "vocab.tsv")
+    train_unigram(["red cat dog runs blue tree house query passage"] * 30,
+                  vocab_size=90).save(vocab)
+    rng = np.random.RandomState(0)
+    root = tmp_path / "mild"
+    root.mkdir()
+    n, r = 6, 4
+    for split in ("train", "test"):
+        write_feature_shard(
+            str(root / f"{split}.en.h5"),
+            features=rng.randn(n, r, 2048).astype(np.float32),
+            boxes=np.abs(rng.rand(n, r, 4)).astype(np.float32) * 50,
+            num_boxes=np.full(n, r, np.int64),
+            wh=np.full((n, 2), 100, np.float32),
+            image_ids=[f"{split}{k}" for k in range(n)])
+        queries = {f"{split}{k}": [("red cat query", "blue dog passage"),
+                                   ("tree house query", "cat runs passage")]
+                   for k in range(n)}
+        with open(root / f"{split}.en.pkl", "wb") as f:
+            pickle.dump(queries, f)
+
+    def mild_cfg(qp_type):
+        return args_to_config(get_parser().parse_args([
+            "--data_path", str(tmp_path), "--vocab_path", vocab,
+            "--lgs", "en", "--is_mild", "True",
+            "--cross_rel_steps", "mild-img", "--mild_path", str(root),
+            "--qp_type", qp_type, "--max_region_num", str(r),
+            "--sample_n", "2", "--batch_size", "2", "--max_len", "24"]))
+
+    data_q = load_data(mild_cfg("q"))
+    data_qp = load_data(mild_cfg("qp"))
+
+    # --- seq_per_img=1: one caption (positive) per image in the test grid,
+    # even though the retrieval eval default is 5 captions/image
+    assert mild_cfg("q").data.seq_per_img == 5     # the non-MILD default
+    toks, lens, cap_to_img, feats, locs, img_len = \
+        data_q.eval_data["retrieval_test"]
+    assert toks.shape[0] == n                       # n_cap == n_img
+    np.testing.assert_array_equal(cap_to_img, np.arange(n))
+    assert feats.shape[0] == n
+
+    # --- qp_type reaches the EVAL grid text too: 'qp' scores the query with
+    # the passage concatenated, so its rows encode strictly longer text
+    lens_qp = data_qp.eval_data["retrieval_test"][1]
+    assert (lens_qp > lens).all(), (lens, lens_qp)
+
+    # --- same for the TRAIN grids (already covered by routing tests; here
+    # assert the q/qp text difference survives through the dataset)
+    ds_q = data_q.train_datasets[("rel", "mild")]
+    ds_qp = data_qp.train_datasets[("rel", "mild")]
+    assert isinstance(ds_q, MILDDataset) and ds_q.qp_type == "q"
+    assert ds_qp.qp_type == "qp"
+    assert all("</s>" in c for caps in ds_qp.captions.values()
+               for c in caps)
+    assert not any("passage" in c for caps in ds_q.captions.values()
+                   for c in caps)
+
+    # --- R@k at the 1-positive-per-image shape reduces exactly: diagonal
+    # scores -> perfect; then knock image 0's positive to the bottom
+    eye = np.eye(n)
+    perfect = recall_at_k(eye, np.arange(n))
+    assert perfect["i2t_r1"] == 100.0 and perfect["t2i_r1"] == 100.0
+    scores2 = eye.copy()
+    scores2[0, 0] = -1.0                 # caption 0 now ranks last for img 0
+    hit1 = recall_at_k(scores2, np.arange(n))
+    assert hit1["i2t_r1"] == pytest.approx(100.0 * (n - 1) / n)
+    assert hit1["t2i_r1"] == pytest.approx(100.0 * (n - 1) / n)
+    assert hit1["i2t_r10"] == 100.0      # n=6 <= 10: always recovered

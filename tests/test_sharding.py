@@ -19,10 +19,15 @@ from m3p_tpu.train import steps as S
 
 
 def test_infer_mesh_shape():
-    assert infer_mesh_shape(8, MeshConfig(data=-1)) == (8, 1, 1, 1, 1)
-    assert infer_mesh_shape(8, MeshConfig(data=-1, tensor=2)) == (4, 1, 1, 2, 1)
-    assert infer_mesh_shape(8, MeshConfig(data=2, fsdp=2, tensor=2)) == (2, 2, 1, 2, 1)
-    assert infer_mesh_shape(8, MeshConfig(data=-1, expert=4)) == (2, 1, 1, 1, 4)
+    assert infer_mesh_shape(8, MeshConfig(data=-1)) == (8, 1, 1, 1, 1, 1)
+    assert infer_mesh_shape(8, MeshConfig(data=-1, tensor=2)) \
+        == (4, 1, 1, 2, 1, 1)
+    assert infer_mesh_shape(8, MeshConfig(data=2, fsdp=2, tensor=2)) \
+        == (2, 2, 1, 2, 1, 1)
+    assert infer_mesh_shape(8, MeshConfig(data=-1, expert=4)) \
+        == (2, 1, 1, 1, 4, 1)
+    assert infer_mesh_shape(8, MeshConfig(data=-1, pp=2)) \
+        == (4, 1, 1, 1, 1, 2)
     with pytest.raises(AssertionError):
         infer_mesh_shape(8, MeshConfig(data=3, tensor=1, fsdp=1, seq=1))
 
@@ -35,7 +40,7 @@ def test_dp_tp_train_step(eight_devices):
 
     mesh = make_mesh(MeshConfig(data=-1, tensor=2), eight_devices)
     assert mesh.shape == {"data": 4, "fsdp": 1, "seq": 1, "tensor": 2,
-                          "expert": 1}
+                          "expert": 1, "pp": 1}
 
     pspecs = get_param_pspecs(
         lambda: build_model_abstract(cfg.model))
