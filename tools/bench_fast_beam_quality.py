@@ -53,13 +53,27 @@ DECODE_BS = 64
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", required=True)
-    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch-size", type=int, default=32)
+    # the 12L post-LN stack is lr-fragile from scratch: 1e-3 collapses it
+    # into a constant predictor (acc 0.333 — f32/no-dropout/clip probes all
+    # reproduce it; 2L fits fine), and 2e-4 *with a cosine-to-zero tail*
+    # stalls at CE ~2.0 because lr is gone by step 800.  2e-4 with a 10%
+    # floor and enough steps fits the det corpus
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--regions", type=int, default=20)
     p.add_argument("--max-test", type=int, default=256)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--dec-layers", type=int, default=4)
+    p.add_argument("--train-only", action="store_true",
+                   help="stop after training (learnability probes)")
+    p.add_argument("--params", default=None,
+                   help="path to save trained params to (after training) "
+                        "or load from (skipping training) — lets repeated "
+                        "decode experiments reuse one training run")
     args = p.parse_args(argv)
 
     import jax
@@ -91,14 +105,21 @@ def main(argv=None):
     # corpus tokenizer only populates the low few hundred ids)
     cfg = ModelConfig(n_words=VOCAB, mask_index=VOCAB - 1,
                       emb_dim=args.dim, n_layers=args.layers,
-                      n_heads=args.dim // 64, n_dec_layers=4,
+                      n_heads=args.dim // 64, n_dec_layers=args.dec_layers,
                       refine_layers=1, max_region_num=args.regions,
-                      dropout=0.1, attention_dropout=0.1, dtype="bfloat16")
+                      dropout=args.dropout, attention_dropout=args.dropout,
+                      dtype=args.dtype)
     model, params = build_model(cfg, jax.random.PRNGKey(0))
     ds = CaptionDataset(train_caps, store, tok, max_len=16, lang_id=0)
 
-    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 200, max(args.steps, 201)))
+    # clip like production training does (--clip_grad_norm 5): the first
+    # steps see CE ~12.4 over the 250k head and unclipped adamw can blast
+    # the stack into a collapse basin it never escapes
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adamw(optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, 200, max(args.steps, 201),
+            end_value=0.1 * args.lr)))
     opt = tx.init(params)
 
     @jax.jit
@@ -106,9 +127,19 @@ def main(argv=None):
         def lf(p):
             return S.caption_loss(model, p, batch, key)
 
-        (loss, _), g = jax.value_and_grad(lf, has_aux=True)(params)
+        (loss, m), g = jax.value_and_grad(lf, has_aux=True)(params)
         up, opt = tx.update(g, opt, params)
-        return optax.apply_updates(params, up), opt, loss
+        return optax.apply_updates(params, up), opt, loss, m["acc"]
+
+    if args.params and os.path.exists(args.params):
+        with open(args.params, "rb") as fh:
+            flat = pickle.load(fh)
+        params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params),
+            [jnp.asarray(v) for v in flat])
+        print(f"loaded params from {args.params} (training skipped)",
+              flush=True)
+        args.steps, loss, acc = 0, jnp.zeros(()), jnp.zeros(())
 
     key = jax.random.PRNGKey(1)
     i, t0 = 0, time.perf_counter()
@@ -118,15 +149,23 @@ def main(argv=None):
         for b in ds.epoch_iterator(args.batch_size, epoch=epoch):
             key, k = jax.random.split(key)
             b = {kk: jnp.asarray(v) for kk, v in b.items()}
-            params, opt, loss = train_step(params, opt, b, k)
+            params, opt, loss, acc = train_step(params, opt, b, k)
             if i % 100 == 0:
                 print(f"step {i}: loss {float(loss):.4f} "
+                      f"acc {float(acc):.3f} "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
             i += 1
             if i >= args.steps:
                 break
     print(f"trained {i} steps in {time.perf_counter() - t0:.0f}s "
-          f"(final loss {float(loss):.4f})", flush=True)
+          f"(final loss {float(loss):.4f} acc {float(acc):.3f})", flush=True)
+    if args.params and i > 0:
+        with open(args.params, "wb") as fh:
+            pickle.dump([np.asarray(v)
+                         for v in jax.tree_util.tree_leaves(params)], fh)
+        print(f"saved params to {args.params}", flush=True)
+    if args.train_only:
+        return
 
     # ---- test split, aligned (image -> 5 references) --------------------
     tstore = RegionFeatureStore(os.path.join(coco, "test.h5"),
