@@ -212,6 +212,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_enc_att", type=bool_flag, default=False)
     p.add_argument("--use_noise", type=float, default=0.0)
     p.add_argument("--save_every_epoch", type=int, default=1)
+    p.add_argument("--save_check_every", type=int, default=10,
+                   help="multi-process preemption-save decision cadence "
+                        "(steps between collective any-rank-pending checks; "
+                        "1 = every step)")
     p.add_argument("--kld_alpha", type=float, default=0.1)
     p.add_argument("--rec_alpha", type=float, default=0.1)
 
@@ -236,6 +240,10 @@ def get_parser() -> argparse.ArgumentParser:
     # TPU-native extensions (no reference equivalent)
     p.add_argument("--use_grain", type=bool_flag, default=True,
                    help="Grain input pipeline (checkpointable iterators)")
+    p.add_argument("--allow_missing_data", type=bool_flag, default=False,
+                   help="warn-and-skip tasks whose data files are absent "
+                        "instead of erroring (reference check_data_params "
+                        "asserts; this is the escape hatch)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_tensor", type=int, default=1)
@@ -304,6 +312,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         mct_sent_ratio=args.sent_ratio, mct_word_ratio=args.word_ratio,
         seed=args.seed, num_workers=args.num_workers, bptt=args.bptt,
         use_grain=args.use_grain, mlm_pack_ratio=args.mlm_pack_ratio,
+        allow_missing_data=args.allow_missing_data,
     )
     optim = OptimConfig(spec=args.optimizer,
                         clip_grad_norm=args.clip_grad_norm,
@@ -375,6 +384,7 @@ def args_to_config(args: argparse.Namespace) -> TrainConfig:
         debug_train=args.debug_train, debug_pretrain=args.debug_pretrain,
         split_data=args.split_data, use_noise=args.use_noise,
         src_lgs=args.src_lgs, save_every_epoch=args.save_every_epoch,
+        save_check_every=args.save_check_every,
         ag_lgs=args.ag_lgs, context_size=args.context_size,
     )
 

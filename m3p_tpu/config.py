@@ -225,6 +225,11 @@ class DataConfig:
     # captions, 0.5 for worst-case synthetic 64-token ones
     mlm_pack_ratio: float = 0.5
     bptt: int = 128                   # stream dataset block length
+    # Missing data for a requested task is a hard error at load time (the
+    # reference `check_data_params` asserts file existence up front,
+    # `/root/reference/M3P/src/data/loader.py:25-153`); True restores
+    # warn-and-skip for deliberate partial setups
+    allow_missing_data: bool = False
 
 
 @dataclass
@@ -376,6 +381,13 @@ class TrainConfig:
     context_size: int = 0
     # pretrain per-epoch model_pretrain_<i> saves (`train_x.py:505-506`)
     save_every_epoch: int = 1
+    # multi-process preemption-save decision cadence: the collective
+    # "any rank pending?" allgather runs every N step boundaries instead of
+    # every step (measured 16.1ms/step at 4 localhost processes — worse over
+    # real DCN — vs 2.0ms amortized at N=10; tools/bench_save_decision.py).
+    # SIGTERM-to-checkpoint latency is bounded by N steps; epoch end always
+    # saves regardless.  1 restores the per-step decision.
+    save_check_every: int = 10
 
     seed: int = 12345
 

@@ -19,9 +19,12 @@ On-disk conventions (reference formats kept where they were sane):
   * bilingual dictionaries for MCT: ``cross_lingual_path/<l1>-<l2>.txt``
   * shard schedule: ``train_order_path/<name>_train_order.json``
                 (`dataset_pretrain.py:210-226`)
-Missing files skip their task with a warning instead of crashing, so partial
-setups (e.g. text-only pre-training) run as in the reference's conditional
-loaders.
+Missing data for a REQUESTED task is a hard `FileNotFoundError` at load time
+— the reference `check_data_params` asserts file existence up front
+(`/root/reference/M3P/src/data/loader.py:25-153`), and a typo'd path must not
+silently train half the recipe.  `--allow_missing_data` restores
+warn-and-skip for deliberate partial setups.  Optional artifacts (valid/test
+splits for monitoring evals) stay tolerant either way.
 """
 
 from __future__ import annotations
@@ -124,6 +127,18 @@ def make_ae_transform(shuffle_k: float, dropout_p: float, blank_p: float,
 # ---------------------------------------------------------------------------
 
 
+def _data_missing(cfg: TrainConfig, what: str, path: str) -> None:
+    """A task the step DSL requested has no data on disk: raise (reference
+    `check_data_params` semantics) unless ``--allow_missing_data``."""
+    msg = f"{what}: {path}"
+    if cfg.data.allow_missing_data:
+        logger.warning("%s — task skipped (--allow_missing_data)", msg)
+        return
+    raise FileNotFoundError(
+        f"{msg} — requested by the task-step flags; fix the path or pass "
+        "--allow_missing_data to deliberately train without it")
+
+
 def _load_captions(path: str, warn: bool = True
                    ) -> Optional[Dict[str, List[str]]]:
     if not os.path.exists(path):
@@ -205,7 +220,9 @@ def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
         return None
     path = os.path.join(cfg.train_order_path, f"{name}_train_order.json")
     if not os.path.exists(path):
-        logger.warning("train order missing: %s", path)
+        # --train_order_path was given explicitly: a missing schedule file
+        # is a config error, not a fallback
+        _data_missing(cfg, "shard train-order schedule", path)
         return None
     with open(path, encoding="utf-8") as f:
         return json.load(f)
@@ -275,7 +292,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
     tokenizer = _load_tokenizer(cfg)
     out.tokenizer = tokenizer
     if tokenizer is None:
-        logger.warning("no tokenizer — returning empty data")
+        _data_missing(cfg, "tokenizer vocab", cfg.data.vocab_path)
         return out
     clager = _build_clager(cfg, cross_lingual_path
                            or cfg.data.cross_lingual_path)
@@ -351,7 +368,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         seen_stream.add((task, lang))
         path = os.path.join(cfg.data.data_path, f"{train_split}.{lang}.npy")
         if not os.path.exists(path):
-            logger.warning("mono stream missing: %s", path)
+            _data_missing(cfg, f"mono stream for --{task}_steps {lang}",
+                          path)
             continue
         stream = np.load(path)
         lang_id = cfg.lang2id.get(lang)
@@ -382,7 +400,10 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
             continue
         pair = _load_parallel(cfg.data.data_path, train_split, src, tgt)
         if pair is None:
-            logger.warning("pc parallel data missing: %s-%s", src, tgt)
+            _data_missing(
+                cfg, f"parallel data for --pc_steps {src}-{tgt}",
+                os.path.join(cfg.data.data_path,
+                             f"{train_split}.{src}-{tgt}.*.txt"))
             continue
         out.train_datasets[("pc", src)] = PCDataset(
             pair[0], pair[1], tokenizer, max_len=cfg.data.max_len,
@@ -394,7 +415,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         root = _dataset_root(cfg, name, dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
         if not h5s:
-            logger.warning("no feature shards under %s", root)
+            _data_missing(cfg, f"feature shards for --cross_rel_steps "
+                          f"{name}", os.path.join(root, "*.h5"))
             continue
         stores = [RegionFeatureStore(p, cfg.data.max_region_num)
                   for p in h5s]
@@ -419,8 +441,11 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 caps = []
                 for p in h5s:
                     cap_path = p.replace(".h5", f".{lang}.pkl")
-                    caps.append(_load_captions(cap_path) or {})
+                    caps.append(_load_captions(cap_path, warn=False) or {})
                 if not any(caps):
+                    _data_missing(
+                        cfg, f"pretrain captions for '{name}' lang {lang}",
+                        h5s[0].replace(".h5", f".{lang}.pkl"))
                     continue
                 out.train_datasets[_key("rel", name, lang, multi)] = \
                     PretrainDataset(
@@ -434,9 +459,13 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                        eval_put)
         else:
             for lang in langs:
-                captions = _captions_for(cfg, root, name, train_split, lang,
-                                         split_store(train_split))
+                captions = _captions_for(cfg, root, name, train_split,
+                                         lang, split_store(train_split),
+                                         warn=False)
                 if captions is None:
+                    _data_missing(
+                        cfg, f"retrieval captions for '{name}' lang {lang}",
+                        os.path.join(root, f"{train_split}.{lang}.pkl"))
                     continue
                 ds = RetrievalDataset(
                     captions, split_store(train_split), tokenizer, lang=lang,
@@ -477,7 +506,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         root = _dataset_root(cfg, name, dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
         if not h5s:
-            logger.warning("no feature shards under %s", root)
+            _data_missing(cfg, f"feature shards for the {task} step on "
+                          f"'{name}'", os.path.join(root, "*.h5"))
             continue
         # split-aware store choice (see split_store in the rel branch)
         def cap_store(split: str, _h5s=h5s):
@@ -499,6 +529,9 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 caps = [_load_captions(p.replace(".h5", f".{lang}.pkl"),
                                        warn=False) or {} for p in h5s]
                 if not any(caps):
+                    _data_missing(
+                        cfg, f"pretrain captions for '{name}' lang {lang}",
+                        h5s[0].replace(".h5", f".{lang}.pkl"))
                     continue
                 stores = [RegionFeatureStore(p, cfg.data.max_region_num)
                           for p in h5s]
@@ -513,8 +546,12 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                         lang_id=cfg.lang2id.get(lang))
                 continue
             captions = _captions_for(cfg, root, name, train_split, lang,
-                                     store)
+                                     store, warn=False)
             if captions is None:
+                _data_missing(
+                    cfg, f"captions for the {task} step on '{name}' "
+                    f"lang {lang}",
+                    os.path.join(root, f"{train_split}.{lang}.pkl"))
                 continue
             out.train_datasets[_key(task, name, lang, multi)] = \
                 CaptionDataset(
@@ -563,7 +600,10 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 continue
             pair = _load_parallel(cfg.data.data_path, train_split, src, tgt)
             if pair is None:
-                logger.warning("parallel data missing: %s-%s", src, tgt)
+                _data_missing(
+                    cfg, f"parallel data for the {kind} step {src}-{tgt}",
+                    os.path.join(cfg.data.data_path,
+                                 f"{train_split}.{src}-{tgt}.*.txt"))
                 continue
             out.train_datasets[(kind, src)] = ParallelDataset(
                 pair[0], pair[1], tokenizer, max_len=cfg.data.max_len,
@@ -601,7 +641,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
             root = _dataset_root(cfg, name, dataset_paths)
             h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
             if not h5s:
-                logger.warning("no feature shards under %s (mmt)", root)
+                _data_missing(cfg, f"feature shards for multimodal MT on "
+                              f"'{name}'", os.path.join(root, "*.h5"))
                 continue
 
             def mmt_store(split: str, _h5s=h5s):
@@ -631,6 +672,11 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     group_by_size=group_by_size)
 
             train_pairs = load_pairs(train_split)
+            if not train_pairs:
+                _data_missing(
+                    cfg, f"multimodal-MT caption pairs for '{name}' "
+                    f"{src_lg}-{tgt_lg}",
+                    os.path.join(root, f"{train_split}.{src_lg}-{tgt_lg}.pkl"))
             if train_pairs:
                 _, ds = mmt_dataset(train_pairs, mmt_store(train_split),
                                     cfg.seed, cfg.data.group_by_size)
@@ -664,7 +710,8 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
         root = _dataset_root(cfg, "slide", dataset_paths)
         h5s = sorted(glob.glob(os.path.join(root, "*.h5")))
         if not h5s:
-            logger.warning("slide data missing under %s", root)
+            _data_missing(cfg, f"slide feature shards for --slide_steps "
+                          f"{name}", os.path.join(root, "*.h5"))
             continue
         shared = RegionFeatureStore(h5s[0], cfg.data.max_region_num)
         for split in ("train", "test"):

@@ -40,25 +40,28 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
 
 def rouge_l_score(hyps: List[str], refs_per_hyp: List[List[str]],
                   beta: float = 1.2) -> float:
-    """Corpus ROUGE-L: mean over hypotheses of the max-over-references
-    LCS F-measure (pycocoevalcap `rouge.py` semantics)."""
+    """Corpus ROUGE-L: mean over hypotheses of the LCS F-measure built from
+    the max precision and max recall taken SEPARATELY over references —
+    pycocoevalcap `rouge.py::calc_score` semantics (prec_max/rec_max may come
+    from different references; golden-pinned in tests/test_eval.py)."""
     assert len(hyps) == len(refs_per_hyp)
     if not hyps:
         return 0.0
     total = 0.0
     for hyp, refs in zip(hyps, refs_per_hyp):
         h = hyp.split()
-        best = 0.0
+        prec_max = 0.0
+        rec_max = 0.0
         for ref in refs:
             r = ref.split()
             lcs = _lcs_len(h, r)
-            if lcs == 0:
+            if lcs == 0 or not h or not r:
                 continue
-            prec = lcs / len(h)
-            rec = lcs / len(r)
-            f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-            best = max(best, f)
-        total += best
+            prec_max = max(prec_max, lcs / len(h))
+            rec_max = max(rec_max, lcs / len(r))
+        if prec_max > 0 and rec_max > 0:
+            total += ((1 + beta ** 2) * prec_max * rec_max) / (
+                rec_max + beta ** 2 * prec_max)
     return 100.0 * total / len(hyps)
 
 

@@ -123,15 +123,26 @@ def pp_run_blocks(
     mesh,
     axis: str = "pp",
     n_microbatches: int = 2,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the encoder stack pipelined over the ``axis`` mesh axis.
 
     Each stage holds n_layers/S consecutive blocks; microbatches stream
     through in the GPipe schedule.  Requires B % n_microbatches == 0 and
-    n_layers % S == 0.  Deterministic mode only (dropout seeds would need
-    per-stage plumbing).  Manual only over ``axis`` (`axis_names={axis}`):
+    n_layers % S == 0.  Manual only over ``axis`` (`axis_names={axis}`):
     batch shardings over ``data`` etc. on the other mesh axes compose
     automatically (a pp x data mesh pipelines data-sharded microbatches).
+
+    Dropout (the reference recipe trains with ``--dropout 0.1``,
+    `/root/reference/README.md:177-189`) is plumbed per (microbatch, layer):
+    the microbatch id rides the pipeline payload, and each layer folds
+    (base key, microbatch id, global layer index) into its dropout key, so
+    every stage and every in-flight microbatch draws independent masks —
+    the PP analogue of the per-shard fold_in in
+    `m3p_tpu.parallel.sp.seq_parallel_run_blocks`.  Refusing to train
+    silently without regularization: ``deterministic=False`` with a nonzero
+    dropout rate and no rng is a hard error.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -143,11 +154,22 @@ def pp_run_blocks(
     assert b % n_microbatches == 0, (b, n_microbatches)
     n_stages = mesh.shape[axis]
     assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
+    layers_per_stage = cfg.n_layers // n_stages
+
+    use_dropout = (not deterministic) and (
+        cfg.dropout > 0 or cfg.attention_dropout > 0)
+    if use_dropout and dropout_rng is None:
+        raise ValueError(
+            "pp_run_blocks: training forward (deterministic=False) with "
+            f"dropout={cfg.dropout}/attention_dropout={cfg.attention_dropout}"
+            " requires a dropout rng (pass rngs={'dropout': key}); refusing"
+            " to silently drop regularization")
 
     stacked = stack_block_params(params, cfg.n_layers)
     mb = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
     mb_mask = mask.reshape(n_microbatches, b // n_microbatches,
                            mask.shape[1])
+    mb_ids = jnp.arange(n_microbatches, dtype=jnp.int32)
 
     block = EncoderBlock(
         n_heads=cfg.n_heads, dim=cfg.emb_dim, ffn_dim=cfg.ffn_dim,
@@ -156,25 +178,60 @@ def pp_run_blocks(
         dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.dtype(cfg.param_dtype),
         use_pallas=False)
 
-    def stage_fn(stage_params, payload):
-        h, mask_ = payload
+    if not use_dropout:
+        def stage_fn(stage_params, payload):
+            h, mask_, mb_id = payload
 
-        def one_layer(h, layer_params):
-            out, _ = block.apply({"params": layer_params}, h, mask_,
-                                 False, None, None, None, True)
-            return out, None
+            def one_layer(h, layer_params):
+                out, _ = block.apply({"params": layer_params}, h, mask_,
+                                     False, None, None, None, True)
+                return out, None
 
-        h, _ = jax.lax.scan(one_layer, h, stage_params)
-        return h, mask_
+            h, _ = jax.lax.scan(one_layer, h, stage_params)
+            return h, mask_, mb_id
 
-    out_mb, _ = shard_map(
-        lambda p, payload: spmd_pipeline(stage_fn, p, payload, axis),
-        mesh=mesh,
-        in_specs=(P(axis), (P(), P())),
-        out_specs=(P(), P()),
-        axis_names={axis},
-        check_vma=False,
-    )(stacked, (mb, mb_mask))
+        def body(p, payload):
+            return spmd_pipeline(stage_fn, p, payload, axis)
+
+        out_mb, _, _ = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), (P(), P(), P())),
+            out_specs=(P(), P(), P()),
+            axis_names={axis},
+            check_vma=False,
+        )(stacked, (mb, mb_mask, mb_ids))
+    else:
+        def body(p, payload, key):
+            def stage_fn(stage_params, pl):
+                h, mask_, mb_id = pl
+                stage = jax.lax.axis_index(axis)
+                mb_key = jax.random.fold_in(key, mb_id)
+
+                def one_layer(h, xs):
+                    layer_params, li = xs
+                    lkey = jax.random.fold_in(
+                        mb_key, stage * layers_per_stage + li)
+                    out, _ = block.apply(
+                        {"params": layer_params}, h, mask_,
+                        False, None, None, None, False,
+                        rngs={"dropout": lkey})
+                    return out, None
+
+                h, _ = jax.lax.scan(
+                    one_layer, h,
+                    (stage_params,
+                     jnp.arange(layers_per_stage, dtype=jnp.int32)))
+                return h, mask_, mb_id
+
+            return spmd_pipeline(stage_fn, p, payload, axis)
+
+        out_mb, _, _ = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), (P(), P(), P()), P()),
+            out_specs=(P(), P(), P()),
+            axis_names={axis},
+            check_vma=False,
+        )(stacked, (mb, mb_mask, mb_ids), dropout_rng)
     return out_mb.reshape(b, *x.shape[1:])
 
 
@@ -186,9 +243,11 @@ class PPModel(ShardedStackModel):
     mesh has ``pp > 1`` (`--mesh_pp`/`--pp_stages`), so EVERY objective's
     non-causal encoder stack runs the GPipe schedule.  Same duck-typed
     ``apply(method=...)`` dispatch as `m3p_tpu.parallel.sp.ShardedStackModel`
-    (of which this is the PP specialisation).  PP forwards are deterministic
-    (per-stage dropout is not plumbed); embeddings/heads keep their dropout
-    rngs on the replicated path."""
+    (of which this is the PP specialisation).  Training forwards apply real
+    dropout: per-(microbatch, layer) keys are folded inside the pipeline
+    (see `pp_run_blocks`), matching the plain path's regularization
+    semantics; embeddings/heads keep their dropout rngs on the replicated
+    path."""
 
     def __init__(self, model, mesh, axis: str = "pp",
                  n_microbatches: int = 2):
@@ -202,7 +261,9 @@ class PPModel(ShardedStackModel):
                   if isinstance(variables, dict) and "params" in variables
                   else variables)
         return pp_run_blocks(self.model, params, x, mask, self.mesh,
-                             self.axis, self.n_microbatches)
+                             self.axis, self.n_microbatches,
+                             deterministic=deterministic,
+                             dropout_rng=self._rng(rngs))
 
 
 def pipelined_encode_joint(
@@ -218,6 +279,7 @@ def pipelined_encode_joint(
     n_microbatches: int = 4,
     refine_image: bool = False,
     deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """encode_joint with the encoder stack pipelined over the ``pp`` axis.
 
@@ -225,11 +287,13 @@ def pipelined_encode_joint(
     pipeline stage holds n_layers/S consecutive blocks and microbatches of
     the batch stream through them.
     """
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     x, joint_mask = model.apply(
         {"params": params}, tokens, text_mask, feats, locs, img_mask,
-        refine_image, deterministic, method=model.embed_joint)
+        refine_image, deterministic, method=model.embed_joint, rngs=rngs)
     return pp_run_blocks(model, params, x, joint_mask, mesh, axis,
-                         n_microbatches)
+                         n_microbatches, deterministic=deterministic,
+                         dropout_rng=dropout_rng)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +306,8 @@ def make_pp_itm_train_step(model, mesh, sample_n: int, axis: str = "pp",
     """Jitted retrieval train step whose joint encoder runs pipelined over
     the ``pp`` axis: loss and parameter gradients flow through the GPipe
     schedule (ppermute is linear, so jax.grad derives the reverse schedule).
-    Deterministic forward (PP training runs without per-stage dropout).
+    Deterministic forward for exact loss-parity assertions; the Trainer's
+    general `PPModel` path applies real per-(microbatch, layer) dropout.
 
     Same (state, batch, rng) -> (state, metrics) contract as
     `m3p_tpu.train.steps.make_train_step`; loss/grads match the unsharded

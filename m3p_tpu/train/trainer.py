@@ -555,10 +555,20 @@ class Trainer:
         delivery can straddle a step boundary (process A checks its flag after
         step k, process B's handler fires a hair later), and a lone process
         entering the save barrier while the rest block in step k+1's psum is a
-        deadlock.  A 1-float allgather per step makes every process see "any
-        rank pending" at the same boundary."""
+        deadlock.  A 1-float allgather makes every process see "any rank
+        pending" at the same boundary — but it is a blocking host round-trip
+        (16.1ms/step at 4 localhost processes, tools/bench_save_decision.py;
+        DCN on a real pod), so it runs only every ``save_check_every``
+        boundaries.  n_total_iter advances identically on every process (same
+        seeded task order), so all ranks agree on which boundaries check; the
+        local flag is deliberately NOT consulted in between (that asymmetric
+        path is exactly the deadlock).  Worst case adds N steps of
+        SIGTERM-to-checkpoint latency; epoch end saves unconditionally."""
         if jax.process_count() == 1:
             return self._pending_save
+        every = max(int(getattr(self.cfg, "save_check_every", 1)), 1)
+        if self.n_total_iter % every != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flag = multihost_utils.process_allgather(

@@ -308,18 +308,26 @@ def test_caption_train_langs_match_eval_decode_lang(tmp_path):
     )
     caps = {f"i{k}": ["red cat runs", "blue dog"] for k in range(n)}
     for split in ("train", "test"):
-        with open(root / f"{split}.en.pkl", "wb") as f:
-            pickle.dump(caps, f)
+        for lang in ("en", "de"):   # both requested langs have data
+            with open(root / f"{split}.{lang}.pkl", "wb") as f:
+                pickle.dump(caps, f)
     argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
             "--lgs", "de-en", "--cross_modal_steps", "coco-img",
             "--is_generation", "True", "--max_region_num", str(r)]
     cfg = args_to_config(get_parser().parse_args(argv))
     data = load_data(cfg)
-    (key,) = [k for k in data.train_datasets if k[0] == "ic"]
+    (key,) = [k for k in data.train_datasets
+              if k[0] == "ic" and k[1].endswith("en")]
     b = next(data.train_datasets[key].epoch_iterator(batch_size=2))
     lang_id = cfg.lang2id["en"]
     assert "langs" in b and (b["langs"] == lang_id).all()
     assert data.eval_data["caption_gen.en"]["lang_id"] == lang_id
+    # each language's train batches carry its OWN id
+    (key_de,) = [k for k in data.train_datasets
+                 if k[0] == "ic" and k[1].endswith("de")]
+    b_de = next(data.train_datasets[key_de].epoch_iterator(batch_size=2))
+    assert (b_de["langs"] == cfg.lang2id["de"]).all()
+    assert data.eval_data["caption_gen.de"]["lang_id"] == cfg.lang2id["de"]
 
 
 def test_use_noise_bart_transform():
@@ -655,3 +663,81 @@ def test_mild_eval_conventions(tmp_path):
     assert hit1["i2t_r1"] == pytest.approx(100.0 * (n - 1) / n)
     assert hit1["t2i_r1"] == pytest.approx(100.0 * (n - 1) / n)
     assert hit1["i2t_r10"] == 100.0      # n=6 <= 10: always recovered
+
+
+class TestMissingDataFailsFast:
+    """Missing data for a REQUESTED task errors at load time (reference
+    `check_data_params` asserts, `loader.py:25-153`); --allow_missing_data
+    is the warn-and-skip escape hatch (VERDICT r3 item 3)."""
+
+    def _vocab(self, tmp_path):
+        from m3p_tpu.tokenization.unigram import train_unigram
+
+        vocab = str(tmp_path / "vocab.tsv")
+        train_unigram(["red cat dog runs blue"] * 20, vocab_size=60
+                      ).save(vocab)
+        return vocab
+
+    def test_typod_coco_path_errors_with_path(self, tmp_path):
+        vocab = self._vocab(tmp_path)
+        argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+                "--lgs", "en", "--cross_rel_steps", "coco-img",
+                "--coco_path", str(tmp_path / "cocoo")]  # typo'd
+        cfg = args_to_config(get_parser().parse_args(argv))
+        with pytest.raises(FileNotFoundError, match="cocoo"):
+            load_data(cfg, dataset_paths={"coco": str(tmp_path / "cocoo")})
+
+    def test_missing_mlm_stream_errors(self, tmp_path):
+        vocab = self._vocab(tmp_path)
+        argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+                "--lgs", "en", "--mlm_steps", "en"]
+        cfg = args_to_config(get_parser().parse_args(argv))
+        with pytest.raises(FileNotFoundError, match="train.en.npy"):
+            load_data(cfg)
+
+    def test_allow_missing_data_skips_with_warning(self, tmp_path):
+        vocab = self._vocab(tmp_path)
+        argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+                "--lgs", "en", "--mlm_steps", "en",
+                "--allow_missing_data", "True"]
+        cfg = args_to_config(get_parser().parse_args(argv))
+        import logging
+
+        # handler attached directly (initialize_exp in earlier tests may
+        # have set propagate=False, hiding records from caplog)
+        records = []
+        handler = logging.Handler()
+        handler.emit = records.append
+        lg = logging.getLogger("m3p_tpu")
+        lg.addHandler(handler)
+        try:
+            data = load_data(cfg)
+        finally:
+            lg.removeHandler(handler)
+        assert ("mlm", "en") not in data.train_datasets
+        assert any("train.en.npy" in r.getMessage() for r in records)
+
+    def test_two_task_run_with_one_typo_errors(self, tmp_path):
+        """A two-task recipe with one typo'd path must NOT silently train
+        half the recipe."""
+        import numpy as np
+
+        vocab = self._vocab(tmp_path)
+        np.save(tmp_path / "train.en.npy",
+                np.random.RandomState(0).randint(3, 50, 4000, np.int32))
+        np.save(tmp_path / "valid.en.npy",
+                np.random.RandomState(1).randint(3, 50, 400, np.int32))
+        argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+                "--lgs", "en", "--mlm_steps", "en",
+                "--cross_rel_steps", "coco-img"]
+        cfg = args_to_config(get_parser().parse_args(argv))
+        with pytest.raises(FileNotFoundError, match="coco"):
+            load_data(cfg)
+
+    def test_missing_vocab_errors(self, tmp_path):
+        argv = ["--data_path", str(tmp_path),
+                "--vocab_path", str(tmp_path / "nope.tsv"),
+                "--lgs", "en", "--mlm_steps", "en"]
+        cfg = args_to_config(get_parser().parse_args(argv))
+        with pytest.raises(FileNotFoundError, match="nope.tsv"):
+            load_data(cfg)

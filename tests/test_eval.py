@@ -244,3 +244,158 @@ def test_coco_method_selects_caption_metrics():
     assert scores["caption_rouge_l"] == 100.0
     # short perfect captions keep a small fragmentation penalty
     assert scores["caption_meteor"] > 98.0
+
+
+# ---------------------------------------------------------------------------
+# Golden-value caption-metric fixtures (VERDICT r3 item 7)
+#
+# 20 hypotheses x 3 references.  Expected values were derived by an
+# INDEPENDENT transcription of the published algorithms (Moses
+# multi-bleu.perl; pycocoevalcap rouge.py::calc_score with separate
+# max-precision/max-recall over references; pycocoevalcap cider_scorer.py
+# CIDEr-D with tf-idf clipping and the length-Gaussian), written in a
+# different style from m3p_tpu/eval/* and hard-coded here — pinning the
+# metric semantics against drift.  METEOR values pin THIS framework's
+# documented exact+stem variant (the Java METEOR-1.5 synonym/paraphrase
+# stages need WordNet, unavailable offline — see caption_metrics.py).
+# ---------------------------------------------------------------------------
+
+GOLDEN_HYPS = [
+    "a man riding a horse on a beach",
+    "two dogs play in the green park",
+    "a red car parked near the tall building",
+    "children are eating cake at a birthday party",
+    "a woman holds an umbrella in the rain",
+    "the cat sleeps on a warm windowsill",
+    "a plate of pasta with tomato sauce",
+    "surfer rides a large wave in the ocean",
+    "a train moves along the mountain track",
+    "people walk across a busy city street",
+    "a bird sits on a wooden fence",
+    "the boy kicks a soccer ball hard",
+    "fresh fruit in a bowl on the table",
+    "a plane flies above white fluffy clouds",
+    "an old man reads a newspaper on a bench",
+    "the girl paints a colorful picture outside",
+    "a boat sails on the calm blue lake",
+    "snow covers the quiet village at night",
+    "a chef cooks food in a small kitchen",
+    "two friends laugh while drinking coffee together",
+]
+GOLDEN_REFS = [
+    ["a man rides a horse along the beach",
+     "a person on a horse at the seaside",
+     "man riding horse on sandy beach"],
+    ["two dogs are playing in a park",
+     "a pair of dogs play on green grass",
+     "dogs running around the park"],
+    ["a red car is parked by a building",
+     "red vehicle near a tall building",
+     "a car parked next to the skyscraper"],
+    ["kids eat cake at a birthday party",
+     "children enjoying birthday cake",
+     "a group of children eating cake at the party"],
+    ["a woman with an umbrella in the rain",
+     "woman holding umbrella while it rains",
+     "a lady holds her umbrella in rainy weather"],
+    ["a cat sleeping on the windowsill",
+     "the cat naps on a sunny windowsill",
+     "cat asleep by the window"],
+    ["a plate of pasta covered in tomato sauce",
+     "pasta with red sauce on a plate",
+     "a dish of spaghetti and tomato sauce"],
+    ["a surfer riding a big wave",
+     "a man surfs a large ocean wave",
+     "surfer on a huge wave in the sea"],
+    ["a train travels on a mountain railway",
+     "the train goes along mountain tracks",
+     "a locomotive moving through the mountains"],
+    ["people crossing a busy street",
+     "pedestrians walk across the city road",
+     "a crowd walks over a busy crossing"],
+    ["a bird perched on a wooden fence",
+     "small bird sitting on the fence",
+     "a bird rests on a fence post"],
+    ["a boy kicking a soccer ball",
+     "the boy strikes the football hard",
+     "a child kicks a ball on the field"],
+    ["a bowl of fresh fruit on a table",
+     "fresh fruit sits in a bowl",
+     "a table with a fruit bowl on it"],
+    ["a plane flying above the clouds",
+     "an airplane soars over fluffy white clouds",
+     "a jet flies high in the cloudy sky"],
+    ["an old man reading a newspaper on a bench",
+     "elderly man reads the paper on a park bench",
+     "a man sits on a bench with a newspaper"],
+    ["a girl painting a picture outdoors",
+     "the girl makes a colorful painting outside",
+     "a child paints a bright picture in the garden"],
+    ["a boat sailing on a calm lake",
+     "a sailboat drifts on the blue lake",
+     "boat on a quiet blue lake"],
+    ["snow covering a quiet village at night",
+     "the village is covered in snow at night",
+     "a snowy village scene after dark"],
+    ["a chef cooking in a small kitchen",
+     "the chef prepares food in his kitchen",
+     "a cook makes a meal in the kitchen"],
+    ["two friends laughing over coffee",
+     "friends drink coffee and laugh together",
+     "two people laughing while having coffee"],
+]
+
+
+class TestCaptionMetricGoldens:
+    def test_bleu4_golden(self):
+        from m3p_tpu.eval.bleu import corpus_bleu
+
+        assert abs(corpus_bleu(GOLDEN_HYPS, GOLDEN_REFS)
+                   - 32.576687514892086) < 1e-9
+
+    def test_rouge_l_golden(self):
+        from m3p_tpu.eval.caption_metrics import rouge_l_score
+
+        assert abs(rouge_l_score(GOLDEN_HYPS, GOLDEN_REFS)
+                   - 69.80420624605947) < 1e-9
+
+    def test_cider_d_golden(self):
+        from m3p_tpu.eval.cider import cider_score
+
+        assert abs(cider_score(GOLDEN_HYPS, GOLDEN_REFS)
+                   - 2.1541563201061615) < 1e-12
+
+    def test_meteor_golden_regression(self):
+        from m3p_tpu.eval.caption_metrics import meteor_score
+
+        assert abs(meteor_score(GOLDEN_HYPS, GOLDEN_REFS)
+                   - 74.8391798394365) < 1e-9
+
+    def test_identity_goldens(self):
+        """hyp == first reference: BLEU/ROUGE_L hit exactly 100; CIDEr-D is
+        idf-weighted and ref-averaged so identity lands at its derived value,
+        not 10; METEOR keeps the fragmentation penalty (chunks=1)."""
+        from m3p_tpu.eval.bleu import corpus_bleu
+        from m3p_tpu.eval.caption_metrics import meteor_score, rouge_l_score
+        from m3p_tpu.eval.cider import cider_score
+
+        ids = [r[0] for r in GOLDEN_REFS]
+        assert abs(corpus_bleu(ids, GOLDEN_REFS) - 100.0) < 1e-9
+        assert abs(rouge_l_score(ids, GOLDEN_REFS) - 100.0) < 1e-9
+        assert abs(cider_score(ids, GOLDEN_REFS)
+                   - 4.076401192922021) < 1e-12
+        assert abs(meteor_score(ids, GOLDEN_REFS)
+                   - 99.82326580368515) < 1e-9
+
+    def test_rouge_l_separate_max_prec_rec(self):
+        """The pycocoevalcap subtlety the golden run caught: max precision
+        and max recall are taken over DIFFERENT references when that helps
+        (not max-F-per-reference)."""
+        from m3p_tpu.eval.caption_metrics import rouge_l_score
+
+        # ref1 gives prec=1.0 (rec 2/6); ref2 gives rec=0.5 (prec 0.5)
+        score = rouge_l_score(["a b"], [["a b c c c c", "a x"]])
+        beta = 1.2
+        pm, rm = 1.0, 0.5
+        expect = 100.0 * ((1 + beta ** 2) * pm * rm) / (rm + beta ** 2 * pm)
+        assert abs(score - expect) < 1e-9

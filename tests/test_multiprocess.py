@@ -271,3 +271,53 @@ def test_four_process_pretrain_kill_and_resume(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
     log2 = log_path.read_text()
     assert log2.rsplit("__log__:", 1)[1].splitlines()[0] == first
+
+
+def test_save_decision_cadence(monkeypatch):
+    """_should_save_now allgathers only every save_check_every boundaries in
+    multi-process runs (measured 16.1ms/step at 4 procs otherwise —
+    tools/bench_save_decision.py), never consults the local flag in between
+    (the asymmetric path is the deadlock), and stays per-step when single
+    process."""
+    from types import SimpleNamespace
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from m3p_tpu.train.trainer import Trainer
+
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(float(x))
+        return np.array([0.0, float(x)])  # rank 1 pending iff x
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    stub = SimpleNamespace(cfg=SimpleNamespace(save_check_every=10),
+                           _pending_save=False, n_total_iter=0)
+    should = Trainer._should_save_now
+
+    # off-cadence boundaries never allgather, even with the flag set locally
+    stub._pending_save = True
+    for it in range(1, 10):
+        stub.n_total_iter = it
+        assert should(stub) is False
+    assert calls == []
+    # the cadence boundary checks collectively and sees the pending rank
+    stub.n_total_iter = 10
+    assert should(stub) is True
+    assert len(calls) == 1
+    # cadence boundary with nothing pending anywhere -> no save
+    stub._pending_save = False
+    stub.n_total_iter = 20
+    assert should(stub) is False
+    assert len(calls) == 2
+
+    # single process: local flag, no collective, every step
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    stub._pending_save = True
+    stub.n_total_iter = 3
+    assert should(stub) is True
+    assert len(calls) == 2

@@ -181,3 +181,129 @@ def test_pp_train_step_parity(pp_mesh):
         assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) <= tol
 
     jax.tree.map(check, g_ref, g_pp)
+
+
+class TestPPDropout:
+    """PP training forwards apply real dropout (VERDICT r3 item 2): masks
+    vary per microbatch and per layer, runs are reproducible under one key,
+    and a missing rng with nonzero dropout refuses loudly."""
+
+    def _setup(self, pp_mesh, dropout=0.5):
+        import dataclasses
+
+        from m3p_tpu.config import small_test_config
+        from m3p_tpu.model import build_model
+
+        cfg = small_test_config()
+        mcfg = dataclasses.replace(cfg.model, n_layers=2, dropout=dropout,
+                                   attention_dropout=0.0)
+        model, params = build_model(mcfg, jax.random.PRNGKey(0))
+        mesh2 = Mesh(np.array(pp_mesh.devices.flatten()[:2]), ("pp",))
+        rng = np.random.RandomState(0)
+        B, S, D = 4, 8, mcfg.emb_dim
+        # identical rows across the two microbatches: rows 0/1 == rows 2/3
+        half = rng.randn(B // 2, S, D).astype(np.float32)
+        x = jnp.asarray(np.concatenate([half, half], 0))
+        mask = jnp.ones((B, S), bool)
+        return model, params, mesh2, x, mask
+
+    def test_dropout_reproducible_and_active(self, pp_mesh):
+        from m3p_tpu.parallel.pipeline import pp_run_blocks
+
+        model, params, mesh2, x, mask = self._setup(pp_mesh)
+        key = jax.random.PRNGKey(7)
+        det = pp_run_blocks(model, params, x, mask, mesh2,
+                            n_microbatches=2)
+        a = pp_run_blocks(model, params, x, mask, mesh2, n_microbatches=2,
+                          deterministic=False, dropout_rng=key)
+        b = pp_run_blocks(model, params, x, mask, mesh2, n_microbatches=2,
+                          deterministic=False, dropout_rng=key)
+        c = pp_run_blocks(model, params, x, mask, mesh2, n_microbatches=2,
+                          deterministic=False,
+                          dropout_rng=jax.random.PRNGKey(8))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(det)))) > 1e-3
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(c)))) > 1e-3
+
+    def test_masks_vary_per_microbatch(self, pp_mesh):
+        """Identical inputs in different microbatches draw different masks
+        (the microbatch id is folded into the key)."""
+        from m3p_tpu.parallel.pipeline import pp_run_blocks
+
+        model, params, mesh2, x, mask = self._setup(pp_mesh)
+        out = np.asarray(pp_run_blocks(
+            model, params, x, mask, mesh2, n_microbatches=2,
+            deterministic=False, dropout_rng=jax.random.PRNGKey(3)))
+        # microbatch 0 = rows 0:2, microbatch 1 = rows 2:4, same inputs
+        assert float(np.max(np.abs(out[:2] - out[2:]))) > 1e-3
+        # ... while the deterministic path keeps them identical
+        det = np.asarray(pp_run_blocks(model, params, x, mask, mesh2,
+                                       n_microbatches=2))
+        np.testing.assert_allclose(det[:2], det[2:], atol=1e-5)
+
+    def test_masks_vary_per_stage(self, pp_mesh):
+        """Two stages holding IDENTICAL layer params on identity-preserving
+        input produce different dropout masks (global layer index folded)."""
+        from m3p_tpu.parallel.pipeline import pp_run_blocks, \
+            stack_block_params
+
+        model, params, mesh2, x, mask = self._setup(pp_mesh)
+        # copy block_0's params into block_1 so both stages are identical fns
+        params = dict(params)
+        params["block_1"] = params["block_0"]
+        out1 = np.asarray(pp_run_blocks(
+            model, params, x, mask, mesh2, n_microbatches=2,
+            deterministic=False, dropout_rng=jax.random.PRNGKey(3)))
+        # if stage 1 reused stage 0's keys, applying the stack twice with
+        # the same key sequence would equal applying each layer's mask
+        # twice; instead compare against a 1-stage run of the same 2-layer
+        # stack (same key schedule iff global layer index is folded)
+        mesh1 = Mesh(np.array(pp_mesh.devices.flatten()[:1]), ("pp",))
+        out_seq = np.asarray(pp_run_blocks(
+            model, params, x, mask, mesh1, n_microbatches=2,
+            deterministic=False, dropout_rng=jax.random.PRNGKey(3)))
+        # key schedule is topology-invariant: 2-stage == 1-stage exactly
+        np.testing.assert_allclose(out1, out_seq, atol=1e-5)
+
+    def test_missing_rng_refuses(self, pp_mesh):
+        from m3p_tpu.parallel.pipeline import pp_run_blocks
+
+        model, params, mesh2, x, mask = self._setup(pp_mesh)
+        with pytest.raises(ValueError, match="dropout rng"):
+            pp_run_blocks(model, params, x, mask, mesh2, n_microbatches=2,
+                          deterministic=False, dropout_rng=None)
+
+    def test_ppmodel_trains_with_dropout(self, pp_mesh):
+        """End-to-end: the Trainer-style PPModel handle runs a training
+        forward (deterministic=False) with dropout active and finite loss."""
+        import dataclasses
+
+        from m3p_tpu.config import small_test_config
+        from m3p_tpu.data import synthetic
+        from m3p_tpu.model import build_model
+        from m3p_tpu.parallel.pipeline import PPModel
+        from m3p_tpu.train import steps as S
+
+        cfg = small_test_config()
+        mcfg = dataclasses.replace(cfg.model, dropout=0.2)
+        model, params = build_model(mcfg, jax.random.PRNGKey(0))
+        mesh2 = Mesh(np.array(pp_mesh.devices.flatten()[:2]), ("pp",))
+        pp_model = PPModel(model, mesh2, n_microbatches=2)
+        rng = np.random.RandomState(0)
+        batch_np = synthetic.make_pretrain_batch(
+            rng, 4, cfg.data.sample_n, cfg.data.max_len,
+            cfg.data.max_region_num, mcfg.n_words)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        key = jax.random.PRNGKey(0)
+        loss_a, _ = S.itm_finetune_loss(pp_model, params, batch, key,
+                                        cfg.data.sample_n,
+                                        deterministic=False)
+        loss_b, _ = S.itm_finetune_loss(pp_model, params, batch,
+                                        jax.random.PRNGKey(1),
+                                        cfg.data.sample_n,
+                                        deterministic=False)
+        det, _ = S.itm_finetune_loss(pp_model, params, batch, key,
+                                     cfg.data.sample_n, deterministic=True)
+        assert np.isfinite(float(loss_a))
+        assert float(loss_a) != float(det)    # dropout is actually applied
+        assert float(loss_a) != float(loss_b)  # and key-dependent
