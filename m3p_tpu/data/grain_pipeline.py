@@ -15,11 +15,14 @@ Why threads, not worker processes: one record at flagship shapes carries
 pickling/shm-copying batches back to the parent — measured 7-20x SLOWER
 than in-process assembly (36-110 vs 781 joint rows/s at 100 regions,
 tools/bench_host_pipeline.py).  The lazy in-process pipeline with
-background read threads measured 1514 joint rows/s at the same operating
-point (~1.9x the chip's 793 rows/s consume rate): h5py and the big numpy
+background read threads, measured with REAL tokenization cost in the row
+path (a 250k-piece XLM-R-scale vocab through the native trie-Viterbi) at
+flagship shapes (100 regions, max_len 64, sample_n 4): 1721 joint rows/s
+at 1 read thread, 1824 at 2, 1867 at 4, 948 at 8 (GIL contention) —
+2.2-2.4x the chip's 793 rows/s consume rate.  h5py and the big numpy
 copies release the GIL, and nothing is serialized.  ``worker_count``
 therefore now sizes the READ THREAD pool (1 is usually right; more helps
-only when record IO blocks on a real filesystem).
+only when record IO blocks on a real filesystem; >4 hurts).
 
 Determinism contract: record ``key`` -> per-record PRNG
 ``RandomState(seed * 1000003 + key)``, so any record rebuilds identically

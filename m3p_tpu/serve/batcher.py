@@ -19,21 +19,29 @@ from typing import Any, Callable, List, Sequence
 logger = logging.getLogger("m3p_tpu")
 
 
+class QueueFull(RuntimeError):
+    """Raised by submit() when max_pending items are already queued —
+    backpressure, mapped to HTTP 429 by the server."""
+
+
 class MicroBatcher:
     """Coalesce single-item submissions into batched handler calls.
 
     ``handler(items) -> results`` must return one result per item, in order.
     A handler exception fails every future in that batch (callers see the
     original exception); the worker keeps serving subsequent batches.
+    ``max_pending`` bounds the queue: beyond it, submit() raises `QueueFull`
+    instead of letting an overload grow latency without bound.
     """
 
     def __init__(self, handler: Callable[[List[Any]], Sequence[Any]],
                  max_batch: int = 64, max_wait_s: float = 0.005,
-                 name: str = "batcher"):
+                 name: str = "batcher", max_pending: int = 1024):
         assert max_batch >= 1
         self._handler = handler
         self._max_batch = max_batch
         self._max_wait_s = max_wait_s
+        self._max_pending = max_pending
         self._queue: "queue.Queue" = queue.Queue()
         self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._loop, name=name,
@@ -43,6 +51,10 @@ class MicroBatcher:
     def submit(self, item: Any) -> Future:
         if self._stopped.is_set():
             raise RuntimeError("MicroBatcher is stopped")
+        if self._max_pending and self._queue.qsize() >= self._max_pending:
+            raise QueueFull(
+                f"{self._queue.qsize()} requests already pending "
+                f"(max_pending={self._max_pending})")
         fut: Future = Future()
         self._queue.put((item, fut))
         return fut

@@ -26,29 +26,41 @@ from __future__ import annotations
 import json
 import logging
 import threading
+from concurrent.futures import TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
 
-from m3p_tpu.serve.batcher import MicroBatcher
+from m3p_tpu.serve.batcher import MicroBatcher, QueueFull
 from m3p_tpu.serve.engine import InferenceEngine
 
 logger = logging.getLogger("m3p_tpu")
 
 
 class ServeApp:
-    """Routes requests to the engine; owns the per-endpoint micro-batchers."""
+    """Routes requests to the engine; owns the per-endpoint micro-batchers.
+
+    Robustness contract: malformed JSON / wrong-shape payloads -> 400;
+    bodies over ``max_body_bytes`` -> 413 (rejected before reading);
+    batcher backlog beyond ``max_pending`` -> 429 (backpressure, the client
+    should retry later); request exceeding ``request_timeout_s`` -> 503;
+    anything unexpected -> 500 with the error text, and the server keeps
+    serving."""
 
     def __init__(self, engine: InferenceEngine, max_batch: int = 64,
                  max_wait_s: float = 0.005,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 max_pending: int = 1024,
+                 max_body_bytes: int = 32 * 1024 * 1024):
         self.engine = engine
         self.request_timeout_s = request_timeout_s
+        self.max_body_bytes = max_body_bytes
         self._score_batcher = MicroBatcher(
             self._score_handler, max_batch=max_batch, max_wait_s=max_wait_s,
-            name="score-batcher")
+            name="score-batcher", max_pending=max_pending)
         self._caption_batcher = MicroBatcher(
             self._caption_handler, max_batch=max_batch,
-            max_wait_s=max_wait_s, name="caption-batcher")
+            max_wait_s=max_wait_s, name="caption-batcher",
+            max_pending=max_pending)
 
     def close(self) -> None:
         self._score_batcher.stop()
@@ -106,6 +118,11 @@ class ServeApp:
                     beam_size=body.get("beam_size"),
                     max_len=body.get("max_len"))}
             return 404, {"error": f"no route {method} {path}"}
+        except QueueFull as e:
+            return 429, {"error": f"overloaded: {e}"}
+        except FutureTimeout:
+            return 503, {"error": "request timed out "
+                                  f"({self.request_timeout_s}s)"}
         except (KeyError, ValueError, TypeError) as e:
             return 400, {"error": f"{type(e).__name__}: {e}"}
         except Exception as e:  # noqa: BLE001 — report, keep serving
@@ -131,7 +148,18 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         try:
             length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._reply(400, {"error": "bad Content-Length"})
+            return
+        if length > self.app.max_body_bytes:
+            # reject BEFORE reading: an oversized body never buffers
+            self._reply(413, {"error": f"body {length} bytes exceeds "
+                                       f"limit {self.app.max_body_bytes}"})
+            return
+        try:
             body = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("JSON body must be an object")
         except (ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"bad JSON body: {e}"})
             return

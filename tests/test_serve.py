@@ -257,3 +257,235 @@ def test_http_endpoints(engine):
         server.server_close()
         app.close()
         engine._gallery = None
+
+
+# ---------------------------------------------------------------------------
+# Robustness (VERDICT r3 item 8): malformed/oversized payloads, backpressure,
+# timeouts, fuzz survival, int8-vs-fp ranking invariance
+# ---------------------------------------------------------------------------
+
+
+def _post_raw(port, path, data: bytes, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data,
+        headers={"Content-Type": "application/json", **(headers or {})})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+@pytest.fixture()
+def server_fixture(engine):
+    server, app = make_server(engine, host="127.0.0.1", port=0,
+                              max_batch=4, max_wait_s=0.01)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server, app, port
+    server.shutdown()
+    server.server_close()
+    app.close()
+
+
+class TestServeRobustness:
+    def test_malformed_json_400(self, server_fixture):
+        _, _, port = server_fixture
+        status, body = _post_raw(port, "/v1/score", b"{not json!!")
+        assert status == 400 and b"bad JSON" in body
+        # valid JSON but not an object
+        status, body = _post_raw(port, "/v1/score", b"[1, 2, 3]")
+        assert status == 400
+        # empty body -> 400 missing key, not a crash
+        status, body = _post_raw(port, "/v1/score", b"")
+        assert status == 400
+
+    def test_oversized_payload_413(self, engine):
+        server, app = make_server(engine, host="127.0.0.1", port=0,
+                                  max_body_bytes=1024)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            big = b'{"pairs": [' + b"0," * 10000 + b"0]}"
+            status, body = _post_raw(port, "/v1/score", big)
+            assert status == 413 and b"exceeds" in body
+            # server still alive afterwards
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=10) as r:
+                assert r.status == 200
+        finally:
+            server.shutdown()
+            server.server_close()
+            app.close()
+
+    def test_queue_overflow_backpressure(self):
+        """submit() raises QueueFull beyond max_pending; callers get 429."""
+        import time as _time
+
+        from m3p_tpu.serve.batcher import MicroBatcher, QueueFull
+
+        started = threading.Event()
+
+        def slow_handler(items):
+            started.set()
+            _time.sleep(0.3)
+            return [0.0] * len(items)
+
+        b = MicroBatcher(slow_handler, max_batch=1, max_wait_s=0.001,
+                         max_pending=2)
+        try:
+            b.submit(1)           # picked up by the worker
+            started.wait(5.0)
+            b.submit(2)           # queued
+            b.submit(3)           # queued (at limit)
+            with pytest.raises(QueueFull):
+                for _ in range(8):   # next submits must hit the bound
+                    b.submit(4)
+        finally:
+            b.stop()
+
+    def test_http_429_under_overload(self, engine):
+        rng = np.random.RandomState(1)
+        server, app = make_server(engine, host="127.0.0.1", port=0,
+                                  max_batch=1, max_wait_s=0.001,
+                                  max_pending=1)
+        import time as _time
+
+        orig = app._score_batcher._handler
+
+        def slow(items):
+            _time.sleep(0.4)
+            return orig(items)
+
+        app._score_batcher._handler = slow
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        img = _image(rng)
+        pair = {"text": "a dog", "feats": img["feats"].tolist(),
+                "locs": img["locs"].tolist()}
+        statuses = {}
+
+        def hit(i):
+            statuses[i] = _post(port, "/v1/score", {"pairs": [pair]})[0]
+
+        try:
+            threads = [threading.Thread(target=hit, args=(i,))
+                       for i in range(8)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            vals = sorted(statuses.values())
+            assert 429 in vals, vals          # backpressure engaged
+            assert 200 in vals, vals          # and some requests served
+            # still healthy afterwards
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=10) as r:
+                assert r.status == 200
+        finally:
+            server.shutdown()
+            server.server_close()
+            app.close()
+
+    def test_request_timeout_503(self, engine):
+        rng = np.random.RandomState(2)
+        server, app = make_server(engine, host="127.0.0.1", port=0,
+                                  max_batch=1, max_wait_s=0.001,
+                                  request_timeout_s=0.05)
+        import time as _time
+
+        app._score_batcher._handler = \
+            lambda items: (_time.sleep(0.5), [0.0] * len(items))[1]
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        img = _image(rng)
+        pair = {"text": "a dog", "feats": img["feats"].tolist(),
+                "locs": img["locs"].tolist()}
+        try:
+            status, out = _post(port, "/v1/score", {"pairs": [pair]})
+            assert status == 503 and "timed out" in out["error"]
+        finally:
+            server.shutdown()
+            server.server_close()
+            app.close()
+
+    def test_fuzz_survival(self, server_fixture):
+        """A loop of garbage requests never kills the server: every response
+        is a well-formed JSON error, and /health stays 200 throughout."""
+        _, _, port = server_fixture
+        rng = np.random.RandomState(3)
+        bodies = [
+            b"", b"null", b"true", b'"str"', b"[]", b"{}",
+            b'{"pairs": null}', b'{"pairs": [{}]}',
+            b'{"pairs": [{"text": 5}]}',
+            b'{"pairs": [{"text": "x", "feats": "nope"}]}',
+            b'{"images": [{"feats": [[1,2],[3]]}]}',
+            b'{"text": {}, "top_k": "many"}',
+            b'{"texts": ["x"], "tgt_lang": 7}',
+            b"\xff\xfe\x00bad utf8",
+        ]
+        paths = ["/v1/score", "/v1/retrieve", "/v1/caption",
+                 "/v1/translate", "/v1/whatever", "/"]
+        for i in range(60):
+            body = bodies[rng.randint(len(bodies))]
+            path = paths[rng.randint(len(paths))]
+            status, raw = _post_raw(port, path, body)
+            assert 400 <= status < 600, (path, body, status)
+            json.loads(raw)  # every error is well-formed JSON
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            assert r.status == 200
+
+
+def test_int8_vs_fp_score_ranking_invariance(tmp_path):
+    """--eval_quant int8 serving must preserve score RANKING vs the fp
+    engine (same checkpoint): retrieval order and top-1 identical, scores
+    within int8 quantization tolerance (engine-level check, VERDICT r3
+    item 8)."""
+    from m3p_tpu.model import quantized_inference_model
+
+    path = str(tmp_path / "unigram.tsv")
+    train_unigram(CORPUS, vocab_size=150).save(path)
+    tok = XLMRTokenizer(path)
+    from m3p_tpu.config import ModelConfig as MC
+
+    cfg = MC(n_words=tok.vocab_size, mask_index=tok.mask_token_id,
+             n_langs=3, emb_dim=32, n_layers=2, n_dec_layers=1, n_heads=2,
+             dropout=0.0, attention_dropout=0.0, max_region_num=R,
+             refine_layers=1, dtype="float32", use_pallas_attention=False)
+    model, params = build_model(cfg, jax.random.PRNGKey(0))
+    kw = dict(tokenizer=tok, max_regions=R, text_buckets=(8,),
+              batch_buckets=(1, 2, 4, 8), beam_size=1, max_gen_len=4,
+              lang2id={"en": 0})
+    fp = InferenceEngine(model, params, **kw)
+    q8 = InferenceEngine(quantized_inference_model(cfg), params, **kw)
+
+    rng = np.random.RandomState(7)
+    gallery = [_image(rng) for _ in range(8)]
+    ids = [f"img{i}" for i in range(8)]
+    fp.load_gallery(gallery, ids)
+    q8.load_gallery(gallery, ids)
+
+    for text in ("a dog runs on the beach", "two cats sleep",
+                 "a red car on the street"):
+        r_fp = fp.retrieve(text, top_k=8)
+        r_q8 = q8.retrieve(text, top_k=8)
+        s_fp = {r["id"]: r["score"] for r in r_fp}
+        s_q8 = {r["id"]: r["score"] for r in r_q8}
+        # scores close (int8 tolerance scaled to the observed range)...
+        rng_fp = max(s_fp.values()) - min(s_fp.values()) + 1e-6
+        for k in s_fp:
+            assert abs(s_fp[k] - s_q8[k]) < 0.15 * rng_fp, (k, s_fp, s_q8)
+        # ...and the top-1 and full ranking agree up to near-ties
+        assert r_fp[0]["id"] == r_q8[0]["id"], (r_fp, r_q8)
+        order_fp = [r["id"] for r in r_fp]
+        order_q8 = [r["id"] for r in r_q8]
+        for a, b in zip(order_fp, order_q8):
+            if a != b:
+                # a swap is only acceptable between near-tied neighbours
+                assert abs(s_fp[a] - s_fp[b]) < 0.05 * rng_fp, (
+                    order_fp, order_q8, s_fp)

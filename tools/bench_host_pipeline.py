@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", required=True)
+    p.add_argument("--vocab", default="",
+                   help="override vocab (e.g. a synthetic 250k-piece TSV so "
+                        "real XLM-R-scale Viterbi cost is in the row path)")
     p.add_argument("--lang", default="en")
     p.add_argument("--groups", type=int, default=20)
     p.add_argument("--sample_n", type=int, default=4)
@@ -50,7 +53,9 @@ def main(argv=None):
     for path in h5s:
         with open(path.replace(".h5", f".{args.lang}.pkl"), "rb") as f:
             caps.append(pickle.load(f))
-    tok = XLMRTokenizer(os.path.join(args.corpus, "vocab.tsv"))
+    tok = XLMRTokenizer(args.vocab
+                        or os.path.join(args.corpus, "vocab.tsv"))
+    print(f"vocab: {tok.vocab_size} pieces")
     ds = PretrainDataset(
         stores, caps, tok, sample_n=args.sample_n, max_len=args.max_len,
         clager=Clager(None, 0.5, 0.5), lang=args.lang, seed=0)
