@@ -256,10 +256,23 @@ class MultiHeadAttention(nn.Module):
                 kv_mask = kv_mask.reshape(bkv, fold, -1)[:, 0]
 
         use_dropout = (not deterministic) and self.dropout > 0.0
-        if use_dropout:
-            # attention-weight dropout forces the XLA path (the Pallas kernel
-            # is dropout-free; training recipes that disable attention dropout
-            # get the fused kernel)
+        if (use_dropout and self.use_pallas and fold == 1
+                and jax.default_backend() == "tpu"):
+            # attention-weight dropout fused into the Pallas kernels (the
+            # small single-tile kernel at encoder lengths, the flash kernel
+            # beyond): the keep mask is generated in-kernel by the TPU
+            # hardware PRNG (fwd and bwd regenerate it from the seed), so no
+            # (B,H,Sq,Sk) random tensor is ever materialized.  The XLA mask
+            # path below measured 22.6% of the flagship step at rate 0.1
+            # (793 -> 614 samples/s); the fused path recovers two thirds of
+            # it (733.8 samples/s)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(self.make_rng("dropout"), (), jnp.uint32),
+                jnp.int32)
+            ctx = attention(q, k, v, kv_mask, causal=causal, use_pallas=True,
+                            dropout_rate=self.dropout, dropout_seed=seed)
+        elif use_dropout:
+            # off-TPU fallback (and beam-folded decode): explicit mask
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(jnp.float32(q.shape[-1]))

@@ -16,6 +16,15 @@ softmax residuals and dedicated dkv / dq kernels recompute p blockwise
 (measured ~25% faster than XLA autodiff at S=2048 fp32 on v5e, with the gap
 growing with sequence length).  Dispatch is length-aware: below
 PALLAS_MIN_KV_LEN the XLA fused path wins and is used instead.
+
+Training-time attention-weight dropout is fused INTO the kernels (TPU
+hardware PRNG seeded per (batch, head[, tile]); the backward regenerates the
+identical keep mask from the seed, so the (B, H, Sq, Sk) mask never exists
+in HBM).  For short sequences a dedicated single-tile kernel
+(`small_attention`) grids over batch with heads unrolled in-block and a
+single recompute-everything backward call — at M3P's joint S=164 the op grad
+measures 2.83 ms vs 7.2 ms for the XLA explicit-mask path and 3.9 ms for the
+blockwise flash grid (B=80, H=12, D=64, rate 0.1).
 """
 
 from __future__ import annotations
@@ -113,7 +122,7 @@ def attention_bshd(
         out = _attention_pallas(q.transpose(0, 2, 1, 3),
                                 k.transpose(0, 2, 1, 3),
                                 v.transpose(0, 2, 1, 3),
-                                kv_mask, causal, scale, interpret)
+                                kv_mask, None, causal, scale, 0.0, interpret)
         return out.transpose(0, 2, 1, 3)
     return mha_reference_bshd(q, k, v, kv_mask, causal=causal,
                               sm_scale=scale)
@@ -124,7 +133,28 @@ def attention_bshd(
 # ---------------------------------------------------------------------------
 
 
+def _dropout_keep(seed_ref, rate: float, shape, q_idx, kv_idx,
+                  num_q_blocks: int, num_kv_blocks: int):
+    """Per-tile keep mask from the TPU hardware PRNG.
+
+    Seeded by (user seed, flat logical tile id), so the forward and both
+    backward kernels regenerate the IDENTICAL mask for a given
+    (batch, head, q-block, kv-block) tile regardless of their grid iteration
+    order — the `ops.dropout` determinism recipe applied to attention
+    weights.  The mask never exists in HBM (the XLA path materializes a
+    (B, H, S, S) random tensor per layer — measured 22.6% of the flagship
+    step at rate 0.1)."""
+    nh = pl.num_programs(1)
+    tile = ((pl.program_id(0) * nh + pl.program_id(1)) * num_q_blocks
+            + q_idx) * num_kv_blocks + kv_idx
+    pltpu.prng_seed(seed_ref[0], tile)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return bits >= threshold
+
+
 def _flash_kernel(
+    seed_ref,     # (1,) int32 scalar-prefetch — dropout PRNG seed
     q_ref,        # (1, 1, block_q, D)
     k_ref,        # (1, 1, block_k, D)
     v_ref,        # (1, 1, block_k, D)
@@ -140,8 +170,10 @@ def _flash_kernel(
     sm_scale: float,
     block_q: int,
     block_k: int,
+    num_q_blocks: int,
     num_kv_blocks: int,
     q_offset: int,
+    dropout_rate: float,
 ):
     kv_idx = pl.program_id(3)
 
@@ -189,6 +221,14 @@ def _flash_kernel(
         l_scratch[...] = l_next
 
         v = v_ref[0, 0]  # (block_k, D)
+        if dropout_rate > 0.0:
+            # dropout applies to the NORMALIZED softmax weights; the running
+            # (m, l) statistics above use the undropped p, and the dropped +
+            # keep-scaled p enters only the value accumulation, so
+            # acc / l == dropout(softmax(s)) @ v exactly
+            keep = _dropout_keep(seed_ref, dropout_rate, p.shape, q_idx,
+                                 kv_idx, num_q_blocks, num_kv_blocks)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
         o_curr = jax.lax.dot(p.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
         # all lanes of the (block_q, NUM_LANES) stats carry the same value;
@@ -207,6 +247,13 @@ def _flash_kernel(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _seed_arr(dropout_seed) -> jax.Array:
+    """Scalar-prefetch seed operand ((1,) int32; zeros when unused)."""
+    if dropout_seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1)
 
 
 def _pad_inputs(q, k, v, kv_mask, block_q, block_k):
@@ -231,7 +278,7 @@ def _pad_inputs(q, k, v, kv_mask, block_q, block_k):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
-                     "return_residuals"),
+                     "return_residuals", "dropout_rate"),
 )
 def flash_attention(
     q: jax.Array,                         # (B, H, Sq, D)
@@ -244,6 +291,8 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
     return_residuals: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # scalar int32
 ):
     """Pallas flash attention (forward).  Pads sequence dims to block multiples
     internally; padded keys are masked out, padded query rows are discarded.
@@ -255,7 +304,12 @@ def flash_attention(
 
     With ``return_residuals`` also returns the per-row softmax statistics
     (l, m) as opaque (B*H*num_q_blocks, 1, block_q) arrays consumed by
-    `flash_attention_bwd`."""
+    `flash_attention_bwd`.
+
+    ``dropout_rate`` > 0 applies attention-weight dropout INSIDE the kernel
+    (TPU hardware PRNG seeded per tile from ``dropout_seed``); no
+    (B, H, Sq, Sk) mask is ever materialized.  The backward kernels
+    regenerate the identical mask from the same seed."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
@@ -273,15 +327,19 @@ def flash_attention(
         sm_scale=scale,
         block_q=block_q,
         block_k=block_k,
+        num_q_blocks=num_q_blocks,
         num_kv_blocks=num_kv_blocks,
         q_offset=q_offset,
+        dropout_rate=dropout_rate,
     )
+    seed_arr = _seed_arr(dropout_seed)
 
     def row_spec():
         # per-(b,h,q-block) residual rows: (B*H*nq, 1, block_q)
         return pl.BlockSpec(
             (1, 1, block_q),
-            lambda bi, hi, qi, ki: ((bi * h + hi) * num_q_blocks + qi, 0, 0))
+            lambda bi, hi, qi, ki, *_: ((bi * h + hi) * num_q_blocks + qi,
+                                        0, 0))
 
     n_rows = b * h * num_q_blocks
     out, l_res, m_res = pl.pallas_call(
@@ -292,21 +350,21 @@ def flash_attention(
             jax.ShapeDtypeStruct((n_rows, 1, block_q), jnp.float32),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(b, h, num_q_blocks, num_kv_blocks),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k),
-                             lambda bi, hi, qi, ki: (bi, 0, ki)),
+                             lambda bi, hi, qi, ki, *_: (bi, 0, ki)),
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
                 row_spec(),
                 row_spec(),
             ),
@@ -320,7 +378,7 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, kv_mask[:, None, :])
+    )(seed_arr, q, k, v, kv_mask[:, None, :])
 
     out = out[:, :, :sq, :]
     if return_residuals:
@@ -333,9 +391,20 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p_ds(q, kref, mask_ref, l_ref, m_ref, di_ref, do, v,
-                    causal, scale, block_q, block_k, q_idx, kv_idx, q_offset):
-    """Shared backward math: recompute p from residuals, form ds."""
+def _recompute_p_ds(seed_ref, q, kref, mask_ref, l_ref, m_ref, di_ref, do, v,
+                    causal, scale, block_q, block_k, q_idx, kv_idx, q_offset,
+                    num_q_blocks, num_kv_blocks, dropout_rate):
+    """Shared backward math: recompute p from residuals, form ds.
+
+    Returns ``(p_dv, ds)``: ``p_dv`` is the (dropped, keep-scaled) weight
+    tile for the dV product; ``ds`` is the score gradient.  With dropout
+    (out = (M . W) V / (1-r), W = softmax(S)):
+        dV = (M . W / (1-r))^T dO
+        dW = M . (dO V^T) / (1-r)
+        dS = W . (dW - rowsum(dO . O))
+    (rowsum(dO . O) == rowsum(dW . W) holds WITH dropout because O already
+    carries the mask).  The keep mask regenerates from the same per-tile
+    seed as the forward — bitwise identical, never in HBM."""
     s = jax.lax.dot_general(q, kref, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     mask = mask_ref[0, 0, :][None, :] != 0
@@ -356,14 +425,24 @@ def _recompute_p_ds(q, kref, mask_ref, l_ref, m_ref, di_ref, do, v,
     dp = jax.lax.dot_general(do.astype(v.dtype), v,
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - di_ref[0, 0, :][:, None])         # (block_q, block_k)
-    return p, ds
+    di = di_ref[0, 0, :][:, None]
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref, dropout_rate, p.shape, q_idx, kv_idx,
+                             num_q_blocks, num_kv_blocks)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_dv = jnp.where(keep, p * inv_keep, 0.0)
+        ds = p * (jnp.where(keep, dp * inv_keep, 0.0) - di)
+    else:
+        p_dv = p
+        ds = p * (dp - di)                           # (block_q, block_k)
+    return p_dv, ds
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
-                          m_ref, di_ref, dk_ref, dv_ref, dk_scratch,
+def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                          l_ref, m_ref, di_ref, dk_ref, dv_ref, dk_scratch,
                           dv_scratch, *, causal, scale, block_q, block_k,
-                          num_q_blocks, q_offset):
+                          num_q_blocks, num_kv_blocks, q_offset,
+                          dropout_rate):
     q_idx = pl.program_id(3)
     kv_idx = pl.program_id(2)
 
@@ -381,13 +460,14 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
     def _run():
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        p, ds = _recompute_p_ds(q, k_ref[0, 0], mask_ref, l_ref, m_ref,
-                                di_ref, do, v_ref[0, 0], causal, scale,
-                                block_q, block_k, q_idx, kv_idx, q_offset)
+        p_dv, ds = _recompute_p_ds(
+            seed_ref, q, k_ref[0, 0], mask_ref, l_ref, m_ref, di_ref, do,
+            v_ref[0, 0], causal, scale, block_q, block_k, q_idx, kv_idx,
+            q_offset, num_q_blocks, num_kv_blocks, dropout_rate)
         # dv += p^T @ do ; dk += ds^T @ q * scale — operands in the input
         # dtype, f32 accumulation (see _recompute_p_ds)
         dv_scratch[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_dv.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_scratch[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -399,9 +479,10 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
         dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
-                         m_ref, di_ref, dq_ref, dq_scratch, *, causal, scale,
-                         block_q, block_k, num_kv_blocks, q_offset):
+def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                         l_ref, m_ref, di_ref, dq_ref, dq_scratch, *, causal,
+                         scale, block_q, block_k, num_q_blocks, num_kv_blocks,
+                         q_offset, dropout_rate):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -418,9 +499,10 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
     def _run():
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        _, ds = _recompute_p_ds(q, k_ref[0, 0], mask_ref, l_ref, m_ref,
-                                di_ref, do, v_ref[0, 0], causal, scale,
-                                block_q, block_k, q_idx, kv_idx, q_offset)
+        _, ds = _recompute_p_ds(
+            seed_ref, q, k_ref[0, 0], mask_ref, l_ref, m_ref, di_ref, do,
+            v_ref[0, 0], causal, scale, block_q, block_k, q_idx, kv_idx,
+            q_offset, num_q_blocks, num_kv_blocks, dropout_rate)
         dq_scratch[...] += jax.lax.dot(
             ds.astype(k_ref.dtype), k_ref[0, 0],
             preferred_element_type=jnp.float32) * scale
@@ -432,7 +514,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, l_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
+                     "dropout_rate"),
 )
 def flash_attention_bwd(
     q, k, v, kv_mask, o, l_res, m_res, do,
@@ -441,6 +524,8 @@ def flash_attention_bwd(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Fused flash-attention backward: returns (dq, dk, dv)."""
     b, h, sq, d = q.shape
@@ -462,42 +547,45 @@ def flash_attention_bwd(
         if order == "kv_inner":   # grid (b, h, qi, ki)
             return pl.BlockSpec(
                 (1, 1, block_q),
-                lambda bi, hi, qi, ki: ((bi * h + hi) * num_q_blocks + qi,
-                                        0, 0))
+                lambda bi, hi, qi, ki, *_: ((bi * h + hi) * num_q_blocks + qi,
+                                            0, 0))
         return pl.BlockSpec(       # grid (b, h, ki, qi)
             (1, 1, block_q),
-            lambda bi, hi, ki, qi: ((bi * h + hi) * num_q_blocks + qi, 0, 0))
+            lambda bi, hi, ki, qi, *_: ((bi * h + hi) * num_q_blocks + qi,
+                                        0, 0))
 
     common = dict(causal=causal, scale=scale, block_q=block_q,
-                  block_k=block_k, q_offset=q_offset)
+                  block_k=block_k, num_q_blocks=num_q_blocks,
+                  num_kv_blocks=num_kv_blocks, q_offset=q_offset,
+                  dropout_rate=dropout_rate)
+    seed_arr = _seed_arr(dropout_seed)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, num_q_blocks=num_q_blocks,
-                          **common),
+        functools.partial(_flash_bwd_dkv_kernel, **common),
         out_shape=(jax.ShapeDtypeStruct(k_p.shape, k.dtype),
                    jax.ShapeDtypeStruct(v_p.shape, v.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(b, h, num_kv_blocks, num_q_blocks),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+                             lambda bi, hi, ki, qi, *_: (bi, hi, qi, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                             lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                             lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k),
-                             lambda bi, hi, ki, qi: (bi, 0, ki)),
+                             lambda bi, hi, ki, qi, *_: (bi, 0, ki)),
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+                             lambda bi, hi, ki, qi, *_: (bi, hi, qi, 0)),
                 row_spec("q_inner"), row_spec("q_inner"),
                 row_spec("q_inner"),
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                             lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+                             lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_k, d), jnp.float32),
@@ -509,31 +597,30 @@ def flash_attention_bwd(
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, mask_p[:, None, :], do_p, l_res, m_res, di)
+    )(seed_arr, q_p, k_p, v_p, mask_p[:, None, :], do_p, l_res, m_res, di)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, num_kv_blocks=num_kv_blocks,
-                          **common),
+        functools.partial(_flash_bwd_dq_kernel, **common),
         out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(b, h, num_q_blocks, num_kv_blocks),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
                 pl.BlockSpec((1, 1, block_k),
-                             lambda bi, hi, qi, ki: (bi, 0, ki)),
+                             lambda bi, hi, qi, ki, *_: (bi, 0, ki)),
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                             lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
                 row_spec("kv_inner"), row_spec("kv_inner"),
                 row_spec("kv_inner"),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                                   lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -541,9 +628,248 @@ def flash_attention_bwd(
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, mask_p[:, None, :], do_p, l_res, m_res, di)
+    )(seed_arr, q_p, k_p, v_p, mask_p[:, None, :], do_p, l_res, m_res, di)
 
     return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+
+
+# ---------------------------------------------------------------------------
+# Small-sequence fused kernel
+#
+# At M3P's encoder lengths (joint S=164) the blockwise flash grid degenerates
+# to (B, H, 1, 1) = B*H programs of tiny matmuls per kernel, and the grad
+# takes THREE such kernels — per-program overhead dominates (measured 3.9 ms
+# vs XLA's 2.4 ms for the op grad at B=80/H=12/S=164/D=64).  This variant
+# grids over BATCH ONLY, unrolls the heads inside the kernel, and computes
+# softmax in one pass (no running statistics, no residuals): the backward
+# recomputes p in-kernel and emits dq/dk/dv from a SINGLE pallas_call.
+# Attention-weight dropout uses the same per-(batch, head)-seeded hardware
+# PRNG recipe as the flash kernels, so the mask regenerates bitwise in the
+# backward and never exists in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _small_keep(seed_ref, rate: float, shape, tile):
+    """Keep mask for one (batch, head) tile; identical in fwd and bwd."""
+    pltpu.prng_seed(seed_ref[0], tile)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return bits >= threshold
+
+
+def _small_p(q, k, mask, *, causal, scale, q_offset):
+    """Single-pass fp32 softmax weights for one head: (sq_p, sk_p)."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
+        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(ki <= qi, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _small_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                      causal, scale, heads, n_heads, q_offset, dropout_rate):
+    bi = pl.program_id(0)
+    h0 = pl.program_id(1) * heads      # global index of this head group
+    mask = mask_ref[0, 0, :][None, :] != 0
+    for h in range(heads):
+        p = _small_p(q_ref[0, h], k_ref[0, h], mask, causal=causal,
+                     scale=scale, q_offset=q_offset)
+        if dropout_rate > 0.0:
+            keep = _small_keep(seed_ref, dropout_rate, p.shape,
+                               bi * n_heads + h0 + h)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        o_ref[0, h] = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, h],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _small_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, causal, scale, heads,
+                      n_heads, q_offset, dropout_rate):
+    """Recomputes p per head and emits all three grads in one kernel.
+
+    Same math as `_recompute_p_ds` (see its docstring), with
+    di = rowsum(dO . O) computed in-kernel as rowsum(p_d . dp) — no
+    residuals are read at all.  Zero-padded `do` rows make padded-query
+    contributions to dk/dv vanish exactly (q pads are zeros, so p there is
+    finite; do there is zero)."""
+    bi = pl.program_id(0)
+    h0 = pl.program_id(1) * heads
+    mask = mask_ref[0, 0, :][None, :] != 0
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    for h in range(heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        do = do_ref[0, h]
+        p = _small_p(q, k, mask, causal=causal, scale=scale,
+                     q_offset=q_offset)
+        dp = jax.lax.dot_general(do.astype(v_ref.dtype), v_ref[0, h],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _small_keep(seed_ref, dropout_rate, p.shape,
+                               bi * n_heads + h0 + h)
+            p_dv = jnp.where(keep, p * inv, 0.0)
+            dp_d = jnp.where(keep, dp * inv, 0.0)
+        else:
+            p_dv = p
+            dp_d = dp
+        di = jnp.sum(p_dv * dp, axis=1, keepdims=True)  # rowsum(dO . O)
+        ds = p * (dp_d - di)
+        dv_ref[0, h] = jax.lax.dot_general(
+            p_dv.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dk_ref[0, h] = (jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        dq_ref[0, h] = (jax.lax.dot(
+            ds.astype(k.dtype), k,
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+
+
+def _small_specs(b, hg, sq_p, sk_p, d):
+    qspec = pl.BlockSpec((1, hg, sq_p, d), lambda bi, gi, *_: (bi, gi, 0, 0))
+    kvspec = pl.BlockSpec((1, hg, sk_p, d), lambda bi, gi, *_: (bi, gi, 0, 0))
+    mspec = pl.BlockSpec((1, 1, sk_p), lambda bi, gi, *_: (bi, 0, 0))
+    return qspec, kvspec, mspec
+
+
+# Conservative per-program VMEM budget for the head-group choice: mosaic
+# keeps the fp32 temps of every unrolled head live at once, so the group
+# size is bounded by temps + double-buffered ins/outs within ~half of the
+# 16 MiB VMEM (measured: 12 fp32 heads at 168x256 want 16.2 MiB).
+_SMALL_VMEM_CAP = 8 * 1024 * 1024
+
+
+def _small_heads_per_block(h, d, sq_p, sk_p, itemsize) -> int:
+    per_head = (
+        2 * itemsize * d * (2 * sq_p + 2 * sk_p)   # q,do / k,v double-buffered
+        + 2 * itemsize * d * (sq_p + 2 * sk_p)     # dq,dk,dv double-buffered
+        + 3 * 4 * sq_p * sk_p                      # live fp32 s/p/dp temps
+    )
+    for hg in range(h, 0, -1):
+        if h % hg == 0 and hg * per_head <= _SMALL_VMEM_CAP:
+            return hg
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "interpret", "dropout_rate"),
+)
+def small_attention(q, k, v, kv_mask=None, causal=False,
+                    sm_scale=None, interpret=False, dropout_rate=0.0,
+                    dropout_seed=None):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    q, k, v, kv_mask, _, _, sq_p, sk_p = _pad_inputs(q, k, v, kv_mask,
+                                                     512, 512)
+    hg = _small_heads_per_block(h, d, sq_p, sk_p, q.dtype.itemsize)
+    qspec, kvspec, mspec = _small_specs(b, hg, sq_p, sk_p, d)
+    out = pl.pallas_call(
+        functools.partial(_small_fwd_kernel, causal=causal, scale=scale,
+                          heads=hg, n_heads=h, q_offset=sk - sq,
+                          dropout_rate=dropout_rate),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hg),
+            in_specs=[qspec, kvspec, kvspec, mspec],
+            out_specs=qspec,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(_seed_arr(dropout_seed), q, k, v, kv_mask[:, None, :])
+    return out[:, :, :sq, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "interpret", "dropout_rate"),
+)
+def small_attention_bwd(q, k, v, kv_mask, do, causal=False, sm_scale=None,
+                        interpret=False, dropout_rate=0.0, dropout_seed=None):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    q, k, v, kv_mask, _, _, sq_p, sk_p = _pad_inputs(q, k, v, kv_mask,
+                                                     512, 512)
+    do = jnp.pad(do, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    hg = _small_heads_per_block(h, d, sq_p, sk_p, q.dtype.itemsize)
+    qspec, kvspec, mspec = _small_specs(b, hg, sq_p, sk_p, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_small_bwd_kernel, causal=causal, scale=scale,
+                          heads=hg, n_heads=h, q_offset=sk - sq,
+                          dropout_rate=dropout_rate),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hg),
+            in_specs=[qspec, kvspec, kvspec, mspec, qspec],
+            out_specs=(qspec, kvspec, kvspec),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(_seed_arr(dropout_seed), q, k, v, kv_mask[:, None, :], do)
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention_pallas_small(q, k, v, kv_mask, dropout_seed, causal, sm_scale,
+                            dropout_rate, interpret):
+    return small_attention(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+                           interpret=interpret, dropout_rate=dropout_rate,
+                           dropout_seed=dropout_seed)
+
+
+def _attention_pallas_small_fwd(q, k, v, kv_mask, dropout_seed, causal,
+                                sm_scale, dropout_rate, interpret):
+    out = small_attention(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+                          interpret=interpret, dropout_rate=dropout_rate,
+                          dropout_seed=dropout_seed)
+    return out, (q, k, v, kv_mask, dropout_seed)
+
+
+def _attention_pallas_small_bwd(causal, sm_scale, dropout_rate, interpret,
+                                residuals, g):
+    q, k, v, kv_mask, dropout_seed = residuals
+    dq, dk, dv = small_attention_bwd(
+        q, k, v, kv_mask, g, causal=causal, sm_scale=sm_scale,
+        interpret=interpret, dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed)
+    return dq, dk, dv, None, None
+
+
+_attention_pallas_small.defvjp(_attention_pallas_small_fwd,
+                               _attention_pallas_small_bwd)
+
+
+def _small_fits(q_shape, k_shape) -> bool:
+    """Single-tile kernel applicability: one (sq_p, sk_p) tile per head and
+    the whole (heads-in-block) working set within a conservative VMEM cap."""
+    b, h, sq, d = q_shape
+    sk = k_shape[2]
+    if sq > 512 or sk > 512:
+        return False
+    sq_p = _round_up(sq, 8)
+    sk_p = _round_up(sk, NUM_LANES)
+    # inputs double-buffered (q,k,v,do) + 3 grad outputs + fp32 temps
+    in_bytes = 2 * 2 * h * d * (sq_p + 2 * sk_p)
+    out_bytes = 2 * h * d * (sq_p + 2 * sk_p)
+    tmp_bytes = 4 * 4 * sq_p * sk_p
+    return (2 * in_bytes + out_bytes + tmp_bytes) < 10 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -551,25 +877,31 @@ def flash_attention_bwd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention_pallas(q, k, v, kv_mask, causal, sm_scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention_pallas(q, k, v, kv_mask, dropout_seed, causal, sm_scale,
+                      dropout_rate, interpret):
     return flash_attention(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
-                           interpret=interpret)
+                           interpret=interpret, dropout_rate=dropout_rate,
+                           dropout_seed=dropout_seed)
 
 
-def _attention_pallas_fwd(q, k, v, kv_mask, causal, sm_scale, interpret):
+def _attention_pallas_fwd(q, k, v, kv_mask, dropout_seed, causal, sm_scale,
+                          dropout_rate, interpret):
     out, l_res, m_res = flash_attention(
         q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
-        interpret=interpret, return_residuals=True)
-    return out, (q, k, v, kv_mask, out, l_res, m_res)
+        interpret=interpret, return_residuals=True,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed)
+    return out, (q, k, v, kv_mask, dropout_seed, out, l_res, m_res)
 
 
-def _attention_pallas_bwd(causal, sm_scale, interpret, residuals, g):
-    q, k, v, kv_mask, out, l_res, m_res = residuals
+def _attention_pallas_bwd(causal, sm_scale, dropout_rate, interpret,
+                          residuals, g):
+    q, k, v, kv_mask, dropout_seed, out, l_res, m_res = residuals
     dq, dk, dv = flash_attention_bwd(
         q, k, v, kv_mask, out, l_res, m_res, g, causal=causal,
-        sm_scale=sm_scale, interpret=interpret)
-    return dq, dk, dv, None
+        sm_scale=sm_scale, interpret=interpret, dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed)
+    return dq, dk, dv, None, None
 
 
 _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
@@ -594,17 +926,37 @@ def attention(
     sm_scale: Optional[float] = None,
     use_pallas: bool = True,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatching attention entry point used by the model.
 
     Chooses the Pallas flash kernel only when (a) allowed, (b) running on a
     TPU backend (or interpreting), and (c) the KV sequence is long enough for
     blockwise attention to win (see PALLAS_MIN_KV_LEN).
+
+    ``dropout_rate`` > 0 (training-time attention-weight dropout) requires
+    the Pallas path — the mask is generated in-kernel by the TPU hardware
+    PRNG and never materialized; callers off the TPU backend must apply
+    their own mask around `mha_reference` instead (see
+    `model.layers.MultiHeadAttention`).
     """
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     on_tpu = jax.default_backend() == "tpu"
+    if dropout_rate > 0.0:
+        if not (use_pallas and (on_tpu or interpret)):
+            raise ValueError(
+                "attention dropout_rate > 0 requires the Pallas TPU path; "
+                "apply an explicit mask around mha_reference instead")
+        if _small_fits(q.shape, k.shape):
+            return _attention_pallas_small(q, k, v, kv_mask, dropout_seed,
+                                           causal, scale, dropout_rate,
+                                           interpret)
+        return _attention_pallas(q, k, v, kv_mask, dropout_seed, causal,
+                                 scale, dropout_rate, interpret)
     long_enough = k.shape[2] >= PALLAS_MIN_KV_LEN
     if use_pallas and (on_tpu or interpret) and (long_enough or interpret):
-        return _attention_pallas(q, k, v, kv_mask, causal, scale, interpret)
+        return _attention_pallas(q, k, v, kv_mask, None, causal, scale,
+                                 0.0, interpret)
     return mha_reference(q, k, v, kv_mask, causal=causal, sm_scale=scale)

@@ -15,7 +15,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# M3P_TPU_TESTS=1 leaves the real backend in place so the @tpu_only kernel
+# tests (hardware-PRNG dropout, fused kernels) run on-chip; default is the
+# CPU 8-device virtual mesh.  NOTE: only one TPU process at a time.
+if os.environ.get("M3P_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

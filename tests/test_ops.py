@@ -125,8 +125,8 @@ def test_flash_bwd_bf16_parity():
     scale = 1.0 / (D ** 0.5)
 
     def loss_pallas(q, k, v):
-        return jnp.sum(_attention_pallas(q, k, v, mask, False, scale,
-                                         True).astype(jnp.float32) ** 2)
+        return jnp.sum(_attention_pallas(q, k, v, mask, None, False, scale,
+                                         0.0, True).astype(jnp.float32) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(mha_reference(q, k, v, mask,
