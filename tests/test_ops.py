@@ -139,3 +139,49 @@ def test_flash_bwd_bf16_parity():
                                    np.asarray(b, np.float32),
                                    atol=0.15, rtol=0.1,
                                    err_msg=f"d{name}")
+
+
+# ---------------------------------------------------------------------------
+# Small-sequence fused kernel (interpret mode; dropout paths are TPU-only —
+# see tests/test_flash_dropout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_small_attention_matches_reference(qkv):
+    from m3p_tpu.ops.attention import small_attention
+
+    q, k, v, mask = qkv
+    ref = mha_reference(q, k, v, mask)
+    out = small_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    ref_c = mha_reference(q, k, v, mask, causal=True)
+    out_c = small_attention(q, k, v, mask, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                               atol=2e-5)
+
+
+def test_small_attention_vjp_matches_xla(qkv):
+    """The single-call recompute backward against XLA autodiff, including a
+    cross-attention shape (sq != sk) and the masked tail."""
+    from m3p_tpu.ops.attention import _attention_pallas_small
+
+    q, k, v, mask = qkv
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    for sq_slice in (slice(None), slice(0, 32)):   # self- and cross-shape
+        qs = q[:, :, sq_slice]
+        g = jnp.asarray(np.random.RandomState(3).randn(*qs.shape),
+                        jnp.float32)
+
+        def loss_small(q_, k_, v_):
+            return jnp.sum(_attention_pallas_small(
+                q_, k_, v_, mask, None, False, scale, 0.0, True) * g)
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(mha_reference(q_, k_, v_, mask, causal=False,
+                                         sm_scale=scale) * g)
+
+        gs = jax.grad(loss_small, argnums=(0, 1, 2))(qs, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qs, k, v)
+        for name, a, b in zip("dq dk dv".split(), gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, err_msg=name)
