@@ -857,19 +857,11 @@ _attention_pallas_small.defvjp(_attention_pallas_small_fwd,
 
 
 def _small_fits(q_shape, k_shape) -> bool:
-    """Single-tile kernel applicability: one (sq_p, sk_p) tile per head and
-    the whole (heads-in-block) working set within a conservative VMEM cap."""
-    b, h, sq, d = q_shape
-    sk = k_shape[2]
-    if sq > 512 or sk > 512:
-        return False
-    sq_p = _round_up(sq, 8)
-    sk_p = _round_up(sk, NUM_LANES)
-    # inputs double-buffered (q,k,v,do) + 3 grad outputs + fp32 temps
-    in_bytes = 2 * 2 * h * d * (sq_p + 2 * sk_p)
-    out_bytes = 2 * h * d * (sq_p + 2 * sk_p)
-    tmp_bytes = 4 * 4 * sq_p * sk_p
-    return (2 * in_bytes + out_bytes + tmp_bytes) < 10 * 1024 * 1024
+    """Single-tile kernel applicability: one (sq_p, sk_p) tile per head.
+    VMEM pressure is handled separately — `_small_heads_per_block` shrinks
+    the per-program head group down to 1, at which point even a 512x512
+    fp32 tile's working set is ~4 MiB."""
+    return q_shape[2] <= 512 and k_shape[2] <= 512
 
 
 # ---------------------------------------------------------------------------
