@@ -185,3 +185,33 @@ def test_small_attention_vjp_matches_xla(qkv):
         for name, a, b in zip("dq dk dv".split(), gs, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((2, 16, 512, 512, 64), jnp.float32),    # fp32 many-head full tile
+    ((2, 24, 384, 384, 64), jnp.bfloat16),   # head count forcing group split
+    ((1, 12, 512, 512, 128), jnp.float32),   # wide head dim
+])
+def test_small_attention_dispatch_extremes(shape, dtype):
+    """Shapes at the edge of the `_small_fits` gate (length-only since the
+    VMEM bound moved into `_small_heads_per_block`): fwd parity and a finite
+    recompute backward, so the dispatch predicate can never admit a shape the
+    kernel mishandles."""
+    from m3p_tpu.ops.attention import (_small_fits, small_attention,
+                                       small_attention_bwd)
+
+    b, h, sq, sk, d = shape
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, sq, d), dtype)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, sk, d), dtype)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, sk, d), dtype)
+    mask = jnp.ones((b, sk), jnp.int32).at[:, -7:].set(0)
+    assert _small_fits(q.shape, k.shape)
+    out = small_attention(q, k, v, mask, interpret=True)
+    ref = mha_reference(q, k, v, mask)
+    atol = 5e-2 if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=atol)
+    do = jax.random.normal(jax.random.PRNGKey(3), out.shape, dtype)
+    grads = small_attention_bwd(q, k, v, mask, do, interpret=True)
+    for name, g_arr in zip("dq dk dv".split(), grads):
+        assert bool(jnp.isfinite(g_arr.astype(jnp.float32)).all()), name
