@@ -220,9 +220,13 @@ def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
         return None
     path = os.path.join(cfg.train_order_path, f"{name}_train_order.json")
     if not os.path.exists(path):
-        # --train_order_path was given explicitly: a missing schedule file
-        # is a config error, not a fallback
-        _data_missing(cfg, "shard train-order schedule", path)
+        # per-dataset OPTIONAL: the reference ships schedules only for its
+        # CC-style shard sets (google/sbu) — other datasets named in the same
+        # run legitimately have none, so this warns instead of raising even
+        # without --allow_missing_data (unlike required captions/features)
+        logger.warning(
+            "no shard train-order schedule for '%s' (%s) — shards iterate "
+            "unscheduled", name, path)
         return None
     with open(path, encoding="utf-8") as f:
         return json.load(f)

@@ -133,6 +133,16 @@ def attention_bshd(
 # ---------------------------------------------------------------------------
 
 
+def _small_keep(seed_ref, rate: float, shape, tile):
+    """Keep mask for one logical tile from the TPU hardware PRNG; seeded by
+    (user seed, tile id) so any kernel regenerates the IDENTICAL mask for a
+    given tile regardless of grid iteration order."""
+    pltpu.prng_seed(seed_ref[0], tile)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return bits >= threshold
+
+
 def _dropout_keep(seed_ref, rate: float, shape, q_idx, kv_idx,
                   num_q_blocks: int, num_kv_blocks: int):
     """Per-tile keep mask from the TPU hardware PRNG.
@@ -147,10 +157,7 @@ def _dropout_keep(seed_ref, rate: float, shape, q_idx, kv_idx,
     nh = pl.num_programs(1)
     tile = ((pl.program_id(0) * nh + pl.program_id(1)) * num_q_blocks
             + q_idx) * num_kv_blocks + kv_idx
-    pltpu.prng_seed(seed_ref[0], tile)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
-    return bits >= threshold
+    return _small_keep(seed_ref, rate, shape, tile)
 
 
 def _flash_kernel(
@@ -649,14 +656,6 @@ def flash_attention_bwd(
 # ---------------------------------------------------------------------------
 
 
-def _small_keep(seed_ref, rate: float, shape, tile):
-    """Keep mask for one (batch, head) tile; identical in fwd and bwd."""
-    pltpu.prng_seed(seed_ref[0], tile)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
-    return bits >= threshold
-
-
 def _small_p(q, k, mask, *, causal, scale, q_offset):
     """Single-pass fp32 softmax weights for one head: (sq_p, sk_p)."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -937,10 +936,13 @@ def attention(
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     on_tpu = jax.default_backend() == "tpu"
     if dropout_rate > 0.0:
-        if not (use_pallas and (on_tpu or interpret)):
+        if not (use_pallas and on_tpu) or interpret:
+            # the keep mask comes from the TPU hardware PRNG, which has no
+            # interpret-mode lowering — admitting interpret here would fail
+            # deep inside Pallas instead of at this surface
             raise ValueError(
-                "attention dropout_rate > 0 requires the Pallas TPU path; "
-                "apply an explicit mask around mha_reference instead")
+                "attention dropout_rate > 0 requires the compiled Pallas TPU "
+                "path; apply an explicit mask around mha_reference instead")
         if _small_fits(q.shape, k.shape):
             return _attention_pallas_small(q, k, v, kv_mask, dropout_seed,
                                            causal, scale, dropout_rate,

@@ -42,7 +42,12 @@ class MicroBatcher:
         self._max_batch = max_batch
         self._max_wait_s = max_wait_s
         self._max_pending = max_pending
-        self._queue: "queue.Queue" = queue.Queue()
+        # the bound lives in the queue itself: put_nowait/Full is atomic, so
+        # concurrent submitters can never overshoot it (a check-then-put on
+        # qsize() could).  Items already popped into the worker's in-flight
+        # batch stop counting, so the total admitted at once is bounded by
+        # max_pending + max_batch.
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending or 0)
         self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._loop, name=name,
                                         daemon=True)
@@ -51,12 +56,13 @@ class MicroBatcher:
     def submit(self, item: Any) -> Future:
         if self._stopped.is_set():
             raise RuntimeError("MicroBatcher is stopped")
-        if self._max_pending and self._queue.qsize() >= self._max_pending:
-            raise QueueFull(
-                f"{self._queue.qsize()} requests already pending "
-                f"(max_pending={self._max_pending})")
         fut: Future = Future()
-        self._queue.put((item, fut))
+        try:
+            self._queue.put_nowait((item, fut))
+        except queue.Full:
+            raise QueueFull(
+                f"{self._max_pending} requests already pending "
+                f"(max_pending={self._max_pending})") from None
         return fut
 
     def __call__(self, item: Any, timeout: float = None) -> Any:
@@ -65,7 +71,11 @@ class MicroBatcher:
 
     def stop(self, timeout: float = 5.0) -> None:
         self._stopped.set()
-        self._queue.put(None)  # wake the worker
+        try:
+            self._queue.put_nowait(None)  # wake a worker blocked in get()
+        except queue.Full:
+            pass  # queue non-empty -> the worker isn't blocked; it re-checks
+            # _stopped at its next loop iteration
         self._thread.join(timeout=timeout)
 
     # -- worker ----------------------------------------------------------

@@ -151,6 +151,12 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError:
             self._reply(400, {"error": "bad Content-Length"})
             return
+        if length < 0:
+            # a negative length would turn rfile.read(length) into
+            # read-until-EOF on a connection the client controls — a
+            # thread-leak, not a body
+            self._reply(400, {"error": "bad Content-Length"})
+            return
         if length > self.app.max_body_bytes:
             # reject BEFORE reading: an oversized body never buffers
             self._reply(413, {"error": f"body {length} bytes exceeds "

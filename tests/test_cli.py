@@ -717,6 +717,54 @@ class TestMissingDataFailsFast:
         assert ("mlm", "en") not in data.train_datasets
         assert any("train.en.npy" in r.getMessage() for r in records)
 
+    def test_missing_train_order_warns_not_raises(self, tmp_path):
+        """The shard train-order schedule is per-dataset OPTIONAL (the
+        reference ships orders only for its CC shard sets): a pretrain
+        dataset without one under an explicit --train_order_path loads
+        unscheduled with a warning, NOT a FileNotFoundError."""
+        import logging
+        import pickle
+        from m3p_tpu.data.features import write_feature_shard
+
+        vocab = self._vocab(tmp_path)
+        root = tmp_path / "google"
+        root.mkdir()
+        r = 4
+        rng = np.random.RandomState(0)
+        ids = [f"im{k}" for k in range(6)]
+        write_feature_shard(
+            str(root / "train.0.h5"),
+            features=rng.randn(6, r, 2048).astype(np.float32),
+            boxes=np.abs(rng.rand(6, r, 4)).astype(np.float32) * 50,
+            num_boxes=np.full(6, r, np.int64),
+            wh=np.full((6, 2), 100, np.float32),
+            image_ids=ids,
+            objects=rng.randint(0, 1600, (6, r)),
+        )
+        with open(root / "train.0.en.pkl", "wb") as f:
+            pickle.dump({i: ["red cat runs"] for i in ids}, f)
+        orders = tmp_path / "orders"
+        orders.mkdir()                       # exists, but no schedule file
+        argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+                "--lgs", "en", "--is_pretrain", "True",
+                "--cross_rel_steps", "google-img",
+                "--google_path", str(root),
+                "--train_order_path", str(orders),
+                "--max_region_num", str(r), "--sample_n", "2"]
+        cfg = args_to_config(get_parser().parse_args(argv))
+        records = []
+        handler = logging.Handler()
+        handler.emit = records.append
+        lg = logging.getLogger("m3p_tpu")
+        lg.addHandler(handler)
+        try:
+            data = load_data(cfg, dataset_paths={"google": str(root)})
+        finally:
+            lg.removeHandler(handler)
+        assert any(k[:2] == ("rel", "google") or k[0] == "rel"
+                   for k in data.train_datasets), data.train_datasets.keys()
+        assert any("train-order" in rec.getMessage() for rec in records)
+
     def test_two_task_run_with_one_typo_errors(self, tmp_path):
         """A two-task recipe with one typo'd path must NOT silently train
         half the recipe."""

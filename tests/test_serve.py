@@ -320,6 +320,20 @@ class TestServeRobustness:
             server.server_close()
             app.close()
 
+    def test_negative_content_length_400(self, server_fixture):
+        """'Content-Length: -1' must 400 immediately — a negative length
+        would turn rfile.read() into read-until-EOF on a connection the
+        client keeps open, leaking the handler thread."""
+        import socket
+
+        _, _, port = server_fixture
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(b"POST /v1/score HTTP/1.1\r\n"
+                      b"Host: x\r\nContent-Length: -1\r\n\r\n")
+            s.settimeout(10)          # reply must come without a body
+            head = s.recv(4096)
+        assert b" 400 " in head.split(b"\r\n", 1)[0], head[:200]
+
     def test_queue_overflow_backpressure(self):
         """submit() raises QueueFull beyond max_pending; callers get 429."""
         import time as _time

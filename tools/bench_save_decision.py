@@ -81,12 +81,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--nproc", type=int, default=4)
-    p.add_argument("--_worker", action="store_true")
     args = p.parse_args()
-
-    if args._worker:
-        worker(args.steps)
-        return
 
     with socket.socket() as s:
         s.bind(("", 0))
