@@ -479,31 +479,36 @@ def main(argv=None) -> None:
     trainer = Trainer(cfg, model, params, data.train_datasets, mesh=mesh,
                       tokenizer=data.tokenizer)
     trainer.install_preemption_handler()
-    # auto-resume from dump_path/checkpoint when present (reference
-    # `reload_checkpoint`, `xtrainer.py:566-571`); --reload_checkpoint
-    # points at an explicit directory otherwise
-    if args.reload_checkpoint:
-        trainer.state, _ = ckpt.restore_checkpoint(args.reload_checkpoint,
-                                                   trainer.state)
-    else:
-        trainer.reload_checkpoint()
-    evaluator = Evaluator(model, cfg)
+    try:
+        # auto-resume from dump_path/checkpoint when present (reference
+        # `reload_checkpoint`, `xtrainer.py:566-571`); --reload_checkpoint
+        # points at an explicit directory otherwise
+        if args.reload_checkpoint:
+            trainer.state, _ = ckpt.restore_checkpoint(
+                args.reload_checkpoint, trainer.state)
+        else:
+            trainer.reload_checkpoint()
+        evaluator = Evaluator(model, cfg)
 
-    if cfg.eval.eval_only:
-        scores = evaluator.run_all_evals(trainer.state.params,
-                                         data.eval_data)
-        logger.info("eval-only scores: %s", scores)
-        return
+        if cfg.eval.eval_only:
+            scores = evaluator.run_all_evals(trainer.state.params,
+                                             data.eval_data)
+            logger.info("eval-only scores: %s", scores)
+            return
 
-    for _ in range(cfg.max_epoch):
-        if trainer.should_stop:
-            break
-        logger.info("==== starting epoch %d ====", trainer.epoch)
-        trainer.train_epoch()
-        scores = evaluator.run_all_evals(trainer.state.params,
-                                         data.eval_data)
-        trainer.save_best_model(scores)
-        trainer.end_epoch(scores)
+        for _ in range(cfg.max_epoch):
+            if trainer.should_stop:
+                break
+            logger.info("==== starting epoch %d ====", trainer.epoch)
+            trainer.train_epoch()
+            scores = evaluator.run_all_evals(trainer.state.params,
+                                             data.eval_data)
+            trainer.save_best_model(scores)
+            trainer.end_epoch(scores)
+    finally:
+        # the handler is process-global: restore it so in-process callers
+        # (tests, embedders) keep a terminatable process
+        trainer.uninstall_preemption_handler()
 
 
 if __name__ == "__main__":

@@ -636,14 +636,28 @@ class Trainer:
 
     def install_preemption_handler(self) -> None:
         """SIGTERM -> checkpoint at the next step boundary (replacing the
-        SLURM SIGUSR1 requeue dance, `slurm.py:20-43`)."""
+        SLURM SIGUSR1 requeue dance, `slurm.py:20-43`).
+
+        Pair with :meth:`uninstall_preemption_handler`: the handler is
+        process-global, so an embedder (or a test driving main() in-process)
+        that outlives this trainer would otherwise have its SIGTERM silently
+        redirected at a dead trainer forever — the process becomes
+        untERMinatable."""
 
         def handler(signum, frame):
             logger.warning("received signal %d - scheduling checkpoint",
                            signum)
             self._pending_save = True
 
-        signal.signal(signal.SIGTERM, handler)
+        self._prev_sigterm = signal.signal(signal.SIGTERM, handler)
+
+    def uninstall_preemption_handler(self) -> None:
+        """Restore the SIGTERM disposition that preceded install (no-op if
+        install never ran or someone re-bound the signal since)."""
+        prev = getattr(self, "_prev_sigterm", None)
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+            self._prev_sigterm = None
 
     @staticmethod
     def _resolve_metric(name: str, scores: Dict[str, float]) -> Optional[str]:

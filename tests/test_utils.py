@@ -107,3 +107,37 @@ def test_weighted_sampling_draws_per_group(tmp_path):
     assert kinds.count("mlm") == 3       # 3 draws within the mlm group
     # uniform mode: every task exactly once
     assert sorted(t._round_order(tasks, None)) == [0, 1, 2]
+
+
+def test_preemption_handler_install_restore(tmp_path):
+    """install_preemption_handler is process-global; uninstall must restore
+    the prior SIGTERM disposition.  A leaked handler makes any in-process
+    caller (pytest itself, an embedder) immune to SIGTERM forever — this
+    exact leak once let a `timeout`-wrapped suite run past its kill."""
+    import signal
+
+    import jax
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.model import build_model
+    from m3p_tpu.train.trainer import Trainer
+
+    sentinel_hits = []
+
+    def sentinel(signum, frame):
+        sentinel_hits.append(signum)
+
+    prev = signal.signal(signal.SIGTERM, sentinel)
+    try:
+        cfg = small_test_config().replace(dump_path=str(tmp_path))
+        model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+        t = Trainer(cfg, model, params, datasets=None)
+        t.install_preemption_handler()
+        assert signal.getsignal(signal.SIGTERM) is not sentinel
+        signal.raise_signal(signal.SIGTERM)     # -> schedules a save
+        assert t._pending_save and not sentinel_hits
+        t.uninstall_preemption_handler()
+        assert signal.getsignal(signal.SIGTERM) is sentinel
+        t.uninstall_preemption_handler()        # idempotent
+        assert signal.getsignal(signal.SIGTERM) is sentinel
+    finally:
+        signal.signal(signal.SIGTERM, prev)
