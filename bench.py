@@ -140,6 +140,12 @@ def main() -> None:
         "vs_baseline": round(samples_per_s / BASELINE_EST, 3),
         "tflops_per_sec": round(tflops, 1),
         "mfu_vs_bf16_peak": round(tflops * 1e12 / v5e_bf16_peak, 3),
+        # self-describing config: the headline runs the REFERENCE recipe's
+        # regularization (attention_dropout 0.1); BENCH_ATTN_DROPOUT=0.0
+        # reproduces the no-attn-dropout variant (793 samples/s, STATUS.md)
+        "config": {"attention_dropout": ATTN_DROPOUT, "dropout": 0.1,
+                   "batch": bn, "ffn_quant": FFN_QUANT,
+                   "layers": 12, "dim": 768, "joint_seq": MAX_LEN + MAX_REGIONS},
     }))
 
 

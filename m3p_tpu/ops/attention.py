@@ -136,7 +136,14 @@ def attention_bshd(
 def _small_keep(seed_ref, rate: float, shape, tile):
     """Keep mask for one logical tile from the TPU hardware PRNG; seeded by
     (user seed, tile id) so any kernel regenerates the IDENTICAL mask for a
-    given tile regardless of grid iteration order."""
+    given tile regardless of grid iteration order.
+
+    One full uint32 draw per probability is already optimal here: an
+    8-bits-per-weight variant (quarter the draws, bitcast to bytes,
+    threshold per byte) measured SLOWER on v5e — 2.21 vs 2.07 ms op grad at
+    B=80/H=12/S=164/rate 0.1 — because the VPU has no 8-bit compare, and
+    widening bytes to i32 for the threshold costs more than the hardware
+    PRNG saves."""
     pltpu.prng_seed(seed_ref[0], tile)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
