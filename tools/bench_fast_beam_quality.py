@@ -61,6 +61,11 @@ def main(argv=None):
     # stalls at CE ~2.0 because lr is gone by step 800.  2e-4 with a 10%
     # floor and enough steps fits the det corpus
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--warmup", type=int, default=200,
+                   help="post-LN depth wants warmup ~ depth: 12L from "
+                        "scratch collapses to a constant predictor at "
+                        "(2e-4, warmup 200) but fits at (1e-4, warmup 600, "
+                        "dropout 0)")
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--regions", type=int, default=20)
@@ -118,7 +123,7 @@ def main(argv=None):
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.adamw(optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, 200, max(args.steps, 201),
+            0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1),
             end_value=0.1 * args.lr)))
     opt = tx.init(params)
 
