@@ -263,9 +263,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _seed_arr(dropout_seed) -> jax.Array:
-    """Scalar-prefetch seed operand ((1,) int32; zeros when unused)."""
+def _seed_arr(dropout_seed, dropout_rate: float = 0.0) -> jax.Array:
+    """Scalar-prefetch seed operand ((1,) int32; zeros when unused).
+
+    With ``dropout_rate`` > 0 a seed is REQUIRED: mapping None to 0 would
+    silently draw the same keep mask every call, turning dropout into a
+    fixed sparsity pattern."""
     if dropout_seed is None:
+        if dropout_rate > 0.0:
+            raise ValueError(
+                "attention dropout_rate > 0 requires an explicit "
+                "dropout_seed (fold one per step from your rng; a missing "
+                "seed would silently reuse one fixed mask)")
         return jnp.zeros((1,), jnp.int32)
     return jnp.asarray(dropout_seed, jnp.int32).reshape(1)
 
@@ -346,7 +355,7 @@ def flash_attention(
         q_offset=q_offset,
         dropout_rate=dropout_rate,
     )
-    seed_arr = _seed_arr(dropout_seed)
+    seed_arr = _seed_arr(dropout_seed, dropout_rate)
 
     def row_spec():
         # per-(b,h,q-block) residual rows: (B*H*nq, 1, block_q)
@@ -572,7 +581,7 @@ def flash_attention_bwd(
                   block_k=block_k, num_q_blocks=num_q_blocks,
                   num_kv_blocks=num_kv_blocks, q_offset=q_offset,
                   dropout_rate=dropout_rate)
-    seed_arr = _seed_arr(dropout_seed)
+    seed_arr = _seed_arr(dropout_seed, dropout_rate)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, **common),
@@ -792,7 +801,7 @@ def small_attention(q, k, v, kv_mask=None, causal=False,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(_seed_arr(dropout_seed), q, k, v, kv_mask[:, None, :])
+    )(_seed_arr(dropout_seed, dropout_rate), q, k, v, kv_mask[:, None, :])
     return out[:, :, :sq, :]
 
 
@@ -828,7 +837,7 @@ def small_attention_bwd(q, k, v, kv_mask, do, causal=False, sm_scale=None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(_seed_arr(dropout_seed), q, k, v, kv_mask[:, None, :], do)
+    )(_seed_arr(dropout_seed, dropout_rate), q, k, v, kv_mask[:, None, :], do)
     return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
@@ -950,6 +959,15 @@ def attention(
             raise ValueError(
                 "attention dropout_rate > 0 requires the compiled Pallas TPU "
                 "path; apply an explicit mask around mha_reference instead")
+        if dropout_seed is None:
+            # _seed_arr would silently map None to seed 0, drawing the SAME
+            # mask every call — dropout as a fixed sparsity pattern.  Demand
+            # an explicit per-step seed (the model folds one from its
+            # 'dropout' rng stream, model/layers.py)
+            raise ValueError(
+                "attention dropout_rate > 0 requires an explicit "
+                "dropout_seed (fold one per step from your rng; a missing "
+                "seed would silently reuse one fixed mask)")
         if _small_fits(q.shape, k.shape):
             return _attention_pallas_small(q, k, v, kv_mask, dropout_seed,
                                            causal, scale, dropout_rate,

@@ -14,6 +14,7 @@ import logging
 import queue
 import threading
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeout
 from typing import Any, Callable, List, Sequence
 
 logger = logging.getLogger("m3p_tpu")
@@ -22,6 +23,15 @@ logger = logging.getLogger("m3p_tpu")
 class QueueFull(RuntimeError):
     """Raised by submit() when max_pending items are already queued —
     backpressure, mapped to HTTP 429 by the server."""
+
+
+class RequestTimeout(RuntimeError):
+    """Raised by __call__ when the WAIT for a result exceeds the timeout —
+    mapped to HTTP 503 by the server.  Distinct from a handler-raised
+    TimeoutError: on Python >= 3.11 concurrent.futures.TimeoutError is an
+    alias of the builtin, so `except TimeoutError` around Future.result
+    would also swallow engine-internal timeouts (socket reads, subprocess
+    waits) and mislabel real errors as request timeouts."""
 
 
 class MicroBatcher:
@@ -38,6 +48,10 @@ class MicroBatcher:
                  max_batch: int = 64, max_wait_s: float = 0.005,
                  name: str = "batcher", max_pending: int = 1024):
         assert max_batch >= 1
+        # the bound must be a real positive number: queue.Queue treats
+        # maxsize <= 0 as INFINITE, which would silently disable the 429
+        # backpressure an operator thinks they configured
+        assert max_pending >= 1, "max_pending must be >= 1"
         self._handler = handler
         self._max_batch = max_batch
         self._max_wait_s = max_wait_s
@@ -47,7 +61,7 @@ class MicroBatcher:
         # qsize() could).  Items already popped into the worker's in-flight
         # batch stop counting, so the total admitted at once is bounded by
         # max_pending + max_batch.
-        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending or 0)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._stopped = threading.Event()
         self._thread = threading.Thread(target=self._loop, name=name,
                                         daemon=True)
@@ -66,8 +80,23 @@ class MicroBatcher:
         return fut
 
     def __call__(self, item: Any, timeout: float = None) -> Any:
-        """Submit and block for the result."""
-        return self.submit(item).result(timeout=timeout)
+        """Submit and block for the result.
+
+        A wait past ``timeout`` raises `RequestTimeout` and CANCELS the
+        still-queued item so the worker never runs abandoned work (a
+        cancelled entry would otherwise hold a max_pending slot and burn a
+        device pass computing a result nobody reads).  A TimeoutError
+        raised BY the handler propagates as itself (see `RequestTimeout`)."""
+        fut = self.submit(item)
+        try:
+            return fut.result(timeout=timeout)
+        except FutureTimeout:
+            if fut.done():
+                raise       # handler-raised TimeoutError: a real error
+            fut.cancel()    # shed the work if the worker hasn't started it
+            raise RequestTimeout(
+                f"no result within {timeout}s "
+                f"(queue depth {self._queue.qsize()})") from None
 
     def stop(self, timeout: float = 5.0) -> None:
         self._stopped.set()
@@ -100,6 +129,12 @@ class MicroBatcher:
     def _loop(self) -> None:
         while not self._stopped.is_set():
             batch = self._collect()
+            # claim each future (PENDING -> RUNNING): a timed-out caller's
+            # cancel() can no longer land after this, so set_result/
+            # set_exception below are race-free; already-cancelled entries
+            # (abandoned requests) are dropped without running the handler
+            batch = [(it, f) for it, f in batch
+                     if f.set_running_or_notify_cancel()]
             if not batch:
                 continue
             items = [it for it, _ in batch]
@@ -113,17 +148,15 @@ class MicroBatcher:
             except Exception as e:  # noqa: BLE001 — fail the batch, keep serving
                 logger.exception("micro-batch handler failed")
                 for f in futures:
-                    if not f.cancelled():
-                        f.set_exception(e)
+                    f.set_exception(e)
                 continue
             for f, r in zip(futures, results):
-                if not f.cancelled():
-                    f.set_result(r)
+                f.set_result(r)
         # drain: fail anything still queued after stop
         while True:
             try:
                 entry = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if entry is not None:
+            if entry is not None and entry[1].set_running_or_notify_cancel():
                 entry[1].set_exception(RuntimeError("MicroBatcher stopped"))

@@ -18,7 +18,9 @@ store) or inline {"feats": [[...]], "locs": [[...]]} /
 
 Single-pair /v1/score and single-image default-config /v1/caption requests
 are coalesced across concurrent clients by a `MicroBatcher` before touching
-the device; multi-item requests are already batches and run directly.
+the device; multi-item requests are already batches and run on a serial
+direct-runner under the same max_pending/timeout admission control (429 /
+503) as the batched paths.
 """
 
 from __future__ import annotations
@@ -26,11 +28,10 @@ from __future__ import annotations
 import json
 import logging
 import threading
-from concurrent.futures import TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
 
-from m3p_tpu.serve.batcher import MicroBatcher, QueueFull
+from m3p_tpu.serve.batcher import MicroBatcher, QueueFull, RequestTimeout
 from m3p_tpu.serve.engine import InferenceEngine
 
 logger = logging.getLogger("m3p_tpu")
@@ -61,10 +62,22 @@ class ServeApp:
             self._caption_handler, max_batch=max_batch,
             max_wait_s=max_wait_s, name="caption-batcher",
             max_pending=max_pending)
+        # multi-item and custom-config requests are already device batches;
+        # they run through this serial thunk runner so the SAME max_pending
+        # (429) and request_timeout_s (503) admission control covers them —
+        # calling the engine straight from ThreadingHTTPServer handler
+        # threads would let the expensive requests bypass both bounds
+        self._direct_runner = MicroBatcher(
+            lambda thunks: [t() for t in thunks], max_batch=1,
+            max_wait_s=0.0, name="direct-runner", max_pending=max_pending)
+
+    def _direct(self, thunk):
+        return self._direct_runner(thunk, timeout=self.request_timeout_s)
 
     def close(self) -> None:
         self._score_batcher.stop()
         self._caption_batcher.stop()
+        self._direct_runner.stop()
 
     # -- batched handlers (run on the batcher threads) --------------------
 
@@ -95,10 +108,12 @@ class ServeApp:
                 texts = [p["text"] for p in pairs]
                 images = [{k: v for k, v in p.items() if k != "text"}
                           for p in pairs]
-                return 200, {"scores": self.engine.score(texts, images)}
+                return 200, {"scores": self._direct(
+                    lambda: self.engine.score(texts, images))}
             if path == "/v1/retrieve":
-                return 200, {"results": self.engine.retrieve(
-                    body["text"], top_k=int(body.get("top_k", 10)))}
+                return 200, {"results": self._direct(
+                    lambda: self.engine.retrieve(
+                        body["text"], top_k=int(body.get("top_k", 10))))}
             if path == "/v1/caption":
                 images = body["images"]
                 custom = ("lang" in body or "beam_size" in body
@@ -107,20 +122,26 @@ class ServeApp:
                     cap = self._caption_batcher(
                         images[0], timeout=self.request_timeout_s)
                     return 200, {"captions": [cap]}
-                return 200, {"captions": self.engine.caption(
-                    images, lang=body.get("lang"),
-                    beam_size=body.get("beam_size"),
-                    max_len=body.get("max_len"))}
+                return 200, {"captions": self._direct(
+                    lambda: self.engine.caption(
+                        images, lang=body.get("lang"),
+                        beam_size=body.get("beam_size"),
+                        max_len=body.get("max_len")))}
             if path == "/v1/translate":
-                return 200, {"translations": self.engine.translate(
-                    body["texts"], tgt_lang=body["tgt_lang"],
-                    src_lang=body.get("src_lang"),
-                    beam_size=body.get("beam_size"),
-                    max_len=body.get("max_len"))}
+                return 200, {"translations": self._direct(
+                    lambda: self.engine.translate(
+                        body["texts"], tgt_lang=body["tgt_lang"],
+                        src_lang=body.get("src_lang"),
+                        beam_size=body.get("beam_size"),
+                        max_len=body.get("max_len")))}
             return 404, {"error": f"no route {method} {path}"}
         except QueueFull as e:
             return 429, {"error": f"overloaded: {e}"}
-        except FutureTimeout:
+        except RequestTimeout:
+            # only genuine WAIT timeouts land here — an engine-raised
+            # TimeoutError (builtin alias of concurrent.futures.TimeoutError
+            # on py>=3.11) falls through to the 500 handler with its real
+            # message instead of masquerading as a request timeout
             return 503, {"error": "request timed out "
                                   f"({self.request_timeout_s}s)"}
         except (KeyError, ValueError, TypeError) as e:

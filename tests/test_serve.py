@@ -503,3 +503,116 @@ def test_int8_vs_fp_score_ranking_invariance(tmp_path):
                 # a swap is only acceptable between near-tied neighbours
                 assert abs(s_fp[a] - s_fp[b]) < 0.05 * rng_fp, (
                     order_fp, order_q8, s_fp)
+
+
+def test_timed_out_request_is_shed():
+    """A caller that times out cancels its queued item: the worker must
+    NEVER run the abandoned work (it would burn a device pass and hold
+    a max_pending slot for a result nobody reads)."""
+    import time as _time
+
+    from m3p_tpu.serve.batcher import MicroBatcher, RequestTimeout
+
+    ran, started = [], threading.Event()
+
+    def handler(items):
+        started.set()
+        ran.extend(items)
+        _time.sleep(0.5)
+        return [0.0] * len(items)
+
+    b = MicroBatcher(handler, max_batch=1, max_wait_s=0.001,
+                     max_pending=4)
+    try:
+        b.submit("head")              # occupies the worker
+        started.wait(5.0)
+        with pytest.raises(RequestTimeout):
+            b("abandoned", timeout=0.05)   # queued behind, times out
+        _time.sleep(1.2)              # give the worker time to drain
+        assert "abandoned" not in ran, ran
+    finally:
+        b.stop()
+
+def test_handler_timeout_error_is_not_a_request_timeout():
+    """A TimeoutError raised BY the handler must propagate as itself
+    (py>=3.11 aliases concurrent.futures.TimeoutError to the builtin) —
+    only a genuine wait timeout raises RequestTimeout."""
+    from m3p_tpu.serve.batcher import MicroBatcher, RequestTimeout
+
+    def handler(items):
+        raise TimeoutError("engine-internal socket timeout")
+
+    b = MicroBatcher(handler, max_batch=1, max_wait_s=0.001,
+                     max_pending=4)
+    try:
+        with pytest.raises(TimeoutError, match="engine-internal"):
+            b("x", timeout=5.0)
+        # and it must NOT be the wait-timeout type
+        try:
+            b("y", timeout=5.0)
+        except RequestTimeout:
+            pytest.fail("handler TimeoutError mislabeled as wait timeout")
+        except TimeoutError:
+            pass
+    finally:
+        b.stop()
+
+def test_multi_item_requests_get_backpressure(engine):
+    """Multi-item /v1/score is admission-controlled too: under overload
+    it must 429 instead of fanning unbounded engine calls across HTTP
+    threads (the single-item path already did)."""
+    import json as _json
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    rng = np.random.RandomState(2)
+    server, app = make_server(engine, host="127.0.0.1", port=0,
+                              max_batch=1, max_wait_s=0.001,
+                              max_pending=1)
+    orig = app._direct_runner._handler
+
+    def slow(thunks):
+        _time.sleep(0.5)
+        return orig(thunks)
+
+    app._direct_runner._handler = slow
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    img = _image(rng)
+    pair = {"feats": img["feats"].tolist(), "locs": img["locs"].tolist()}
+    body = _json.dumps(
+        {"pairs": [dict(pair, text="a"), dict(pair, text="b")]}).encode()
+
+    codes = []
+
+    def hit():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/score", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                codes.append(r.status)
+        except urllib.error.HTTPError as e:
+            codes.append(e.code)
+
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    try:
+        assert 429 in codes, codes       # overload must backpressure
+        assert 200 in codes, codes       # and some requests succeed
+    finally:
+        server.shutdown()
+        server.server_close()
+        app.close()
+
+def test_max_pending_zero_rejected():
+    """maxsize<=0 means INFINITE to queue.Queue — the constructor must
+    refuse it rather than silently disable the backpressure bound."""
+    from m3p_tpu.serve.batcher import MicroBatcher
+
+    with pytest.raises(AssertionError):
+        MicroBatcher(lambda items: items, max_pending=0)
