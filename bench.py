@@ -56,9 +56,10 @@ REMAT = _os.environ.get("BENCH_REMAT", "0") == "1"
 FFN_QUANT = _os.environ.get("BENCH_FFN_QUANT", "int8_bwd")
 # reference training default (`/root/reference/M3P/train_x.py` --attention_dropout
 # 0.1): the headline matches the reference recipe's regularization, served by
-# the in-kernel hardware-PRNG dropout path (733.8 samples/s vs 614 with the
-# XLA mask path). Set BENCH_ATTN_DROPOUT=0.0 to reproduce the no-attn-dropout
-# variant (793); both numbers are recorded in STATUS.md.
+# the layout-native packed Pallas kernel with in-kernel hardware-PRNG dropout
+# (852 samples/s round 5, vs 735 with the transposing small kernel and 614
+# with the XLA mask path). Set BENCH_ATTN_DROPOUT=0.0 for the no-attn-dropout
+# variant (873); both numbers are recorded in STATUS.md.
 ATTN_DROPOUT = float(_os.environ.get("BENCH_ATTN_DROPOUT", "0.1"))
 
 

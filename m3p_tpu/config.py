@@ -257,6 +257,12 @@ class EvalConfig:
     # (the 250k-vocab head GEMM measured 1.1-1.9x, tools/bench_prequant.py).
     # No reference equivalent (TPU-native inference mode).
     quant: str = "none"
+    # approx top-k (lax.approx_max_k, recall 0.99/element) for the per-step
+    # beam top-2K over the 250k vocab: +33-43% decode throughput, decoded
+    # captions IDENTICAL on the fully-fit flagship stack and CIDEr -0.2% at
+    # a soft 2L distribution (tools/bench_fast_beam_quality.py).  No
+    # reference equivalent (TPU-native inference mode).
+    fast_beam: bool = False
 
 
 @dataclass

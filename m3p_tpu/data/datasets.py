@@ -335,11 +335,18 @@ class CaptionDataset:
         return len(self.items)
 
     def epoch_iterator(self, batch_size: int, epoch: int = 0,
-                       shuffle: bool = True) -> Iterator[Batch]:
+                       shuffle: bool = True,
+                       drop_last: bool = True) -> Iterator[Batch]:
+        """``drop_last=False`` yields a short final batch (one extra jit
+        shape) — REQUIRED for generation eval, where dropping the remainder
+        would silently skip up to batch_size-1 test images (and all of
+        them when the test set is smaller than one batch); training keeps
+        the static-shape default."""
         rng = np.random.RandomState(self.seed + epoch)
         order = (rng.permutation(len(self.items)) if shuffle
                  else np.arange(len(self.items)))
-        for start in range(0, len(order) - batch_size + 1, batch_size):
+        stop = len(order) - batch_size + 1 if drop_last else len(order)
+        for start in range(0, stop, batch_size):
             img_ids, texts = [], []
             for i in order[start:start + batch_size]:
                 img_id, cap = self.items[i]

@@ -280,6 +280,15 @@ def make_grain_loader(
 
         # strided per-process slice: disjoint, balanced to within one record
         md = md.slice(slice(jax.process_index(), None, jax.process_count()))
+    if worker_count > 4:
+        # measured cliff (module docstring): read throughput at flagship
+        # shapes is 1721/1824/1867/948 rows/s at 1/2/4/8 threads — past 4
+        # the GIL contention on row assembly HALVES throughput
+        logging.getLogger("m3p_tpu").warning(
+            "worker_count=%d read threads is past the measured scaling "
+            "cliff (1/2/4/8 threads -> 1721/1824/1867/948 rows/s at "
+            "flagship shapes); >4 threads is ~2x SLOWER than 4 — use <=4",
+            worker_count)
     md = md.shuffle(seed=seed + epoch)
     md = md.repeat(num_epochs)
     md = md.batch(batch_size, drop_remainder=True, batch_fn=batch_fn)

@@ -212,6 +212,14 @@ def _dataset_root(cfg: TrainConfig, name: str,
     return os.path.join(base, name)
 
 
+# Datasets whose shard schedule the reference opens UNCONDITIONALLY
+# (`dataset_pretrain.py:91-96` reads {google,sbu}_train_order.json and
+# hard-fails when absent).  For these a missing schedule under an explicitly
+# given --train_order_path is an error, not a warning: a typo'd path would
+# otherwise silently change shard order/composition.
+_SCHEDULE_BEARING = frozenset({"google", "sbu"})
+
+
 def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
     """``<train_order_path>/<name>_train_order.json``: epoch -> shard index
     per data-parallel feeder (`{google,sbu}_train_order.json`,
@@ -220,10 +228,13 @@ def _load_train_order(cfg: TrainConfig, name: str) -> Optional[List[List[int]]]:
         return None
     path = os.path.join(cfg.train_order_path, f"{name}_train_order.json")
     if not os.path.exists(path):
-        # per-dataset OPTIONAL: the reference ships schedules only for its
-        # CC-style shard sets (google/sbu) — other datasets named in the same
-        # run legitimately have none, so this warns instead of raising even
-        # without --allow_missing_data (unlike required captions/features)
+        if name in _SCHEDULE_BEARING:
+            # reference semantics: the schedule for google/sbu is required
+            # (dataset_pretrain.py:91-96); raise unless --allow_missing_data
+            _data_missing(cfg, f"shard train-order schedule for '{name}' "
+                          "(--train_order_path)", path)
+            return None
+        # other datasets legitimately ship no schedule — warn only
         logger.warning(
             "no shard train-order schedule for '%s' (%s) — shards iterate "
             "unscheduled", name, path)
@@ -576,8 +587,12 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                     {i: caps[:1] for i, caps in test_caps.items()},
                     test_store, tokenizer, lang=lang,
                     max_len=cfg.data.max_len)
+                # drop_last=False: generation eval must decode EVERY
+                # test image (a dropped remainder silently skips up to
+                # bs-1 of them; the reference decodes all)
                 batches = list(gen_ds.epoch_iterator(
-                    cfg.eval.eval_batch_size, shuffle=False))
+                    cfg.eval.eval_batch_size, shuffle=False,
+                    drop_last=False))
                 img_order = [img_id for img_id, _ in gen_ds.items]
                 eval_put("caption_gen", lang, {
                     "batches": batches,
@@ -792,7 +807,8 @@ def _load_mild(cfg, out, root, langs, multi, tokenizer, clager,
             img_order = [img_id for img_id, _ in gen_ds.items]
             eval_put("caption_gen", lang, {
                 "batches": list(gen_ds.epoch_iterator(
-                    cfg.eval.eval_batch_size, shuffle=False)),
+                    cfg.eval.eval_batch_size, shuffle=False,
+                    drop_last=False)),
                 "references": [cap_q[i] for i in img_order],
                 "tokenizer": tokenizer,
                 "lang_id": cfg.lang2id.get(lang)})

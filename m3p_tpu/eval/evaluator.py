@@ -68,7 +68,8 @@ class Evaluator:
                      tgt_lang_id, length_penalty: float = 1.0):
         """Jitted beam/greedy decode, cached per static config — unjitted
         `lax.scan` re-traces the whole decode graph every batch."""
-        key = (kind, beam_size, max_len, tgt_lang_id, length_penalty)
+        fast = bool(getattr(self.cfg.eval, "fast_beam", False))
+        key = (kind, beam_size, max_len, tgt_lang_id, length_penalty, fast)
         if key not in self._decode_cache:
             if kind == "beam":
                 def fn(params, src_enc, src_mask):
@@ -76,7 +77,8 @@ class Evaluator:
                         self.gen_model, params, src_enc, src_mask, beam_size,
                         max_len, tgt_lang_id=tgt_lang_id,
                         length_penalty=length_penalty,
-                        early_stopping=self.cfg.eval.early_stopping)
+                        early_stopping=self.cfg.eval.early_stopping,
+                        fast_topk=fast)
             else:
                 def fn(params, src_enc, src_mask):
                     return greedy_generate(

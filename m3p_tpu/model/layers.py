@@ -193,19 +193,24 @@ class MultiHeadAttention(nn.Module):
         if use_fused_qkv:
             fused = (self._fused_qkv_infer(x) if self.quant == "int8_infer"
                      else self._fused_int8_qkv(x))
+        packed2d = None     # (B, S, H*Dh) projections for the packed kernel
         if fused is not None:
             qp, kp, vp = fused
+            packed2d = (qp, kp, vp)
             q, k, v = self._split(qp), self._split(kp), self._split(vp)
         else:
-            q = self._split(self.q_lin(x))
+            qp = self.q_lin(x)
+            q = self._split(qp)
 
             if cache is not None and kv is not None and "k" in cache:
                 # cross-attention KV reused across decode steps
                 k, v = cache["k"], cache["v"]
             else:
                 src = x if kv is None else kv
-                k = self._split(self.k_lin(src))
-                v = self._split(self.v_lin(src))
+                kp, vp = self.k_lin(src), self.v_lin(src)
+                k, v = self._split(kp), self._split(vp)
+                if kv is None and cache is None:
+                    packed2d = (qp, kp, vp)
 
         new_cache: Optional[Cache] = None
         if cache is not None:
@@ -256,16 +261,43 @@ class MultiHeadAttention(nn.Module):
                 kv_mask = kv_mask.reshape(bkv, fold, -1)[:, 0]
 
         use_dropout = (not deterministic) and self.dropout > 0.0
+        if (self.use_pallas and jax.default_backend() == "tpu"
+                and packed2d is not None and self.seq_axis is None
+                and fold == 1
+                and q.shape[2] <= 512 and k.shape[2] <= 512):
+            # Encoder self-attention (the hot path, train AND eval): the
+            # layout-native packed kernel consumes the (B, S, H*Dh)
+            # projections DIRECTLY and returns the same layout for the
+            # out-projection — no (B,H,S,D) transpose ever materializes
+            # around the pallas_call, and no (B,H,S,S) softmax residual
+            # ever hits HBM (the backward recomputes in-kernel).  Measured
+            # at the flagship step (12L, BN=80, S=164): 873 samples/s at
+            # rate 0 vs 793 on the XLA path, 852 at rate 0.1 vs 735 on the
+            # (B,H,S,D) small kernel and 614 on the XLA mask path.  With
+            # dropout the keep mask comes from the in-kernel hardware PRNG
+            # seeded per (batch, head) — regenerated bitwise in the
+            # backward, never in HBM (see ops/attention.py
+            # `attention_packed`).
+            from m3p_tpu.ops.attention import attention_packed
+
+            if use_dropout:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (), jnp.uint32),
+                    jnp.int32)
+                rate = self.dropout
+            else:
+                seed, rate = None, 0.0
+            qp2, kp2, vp2 = packed2d
+            ctx2 = attention_packed(qp2, kp2, vp2, kv_mask, seed,
+                                    self.n_heads, causal, None, rate)
+            return self._project_out(ctx2), new_cache
         if (use_dropout and self.use_pallas and fold == 1
                 and jax.default_backend() == "tpu"):
-            # attention-weight dropout fused into the Pallas kernels (the
-            # small single-tile kernel at encoder lengths, the flash kernel
-            # beyond): the keep mask is generated in-kernel by the TPU
-            # hardware PRNG (fwd and bwd regenerate it from the seed), so no
-            # (B,H,Sq,Sk) random tensor is ever materialized.  The XLA mask
-            # path below measured 22.6% of the flagship step at rate 0.1
-            # (793 -> 614 samples/s); the fused path recovers two thirds of
-            # it (733.8 samples/s)
+            # non-packed shapes with attention dropout (cross-attention,
+            # S > 512 flash): dropout fused into the (B,H,S,D) Pallas
+            # kernels — keep mask from the in-kernel hardware PRNG, no
+            # (B,H,Sq,Sk) random tensor ever materialized (the XLA mask
+            # path below measured 22.6% of the flagship step at rate 0.1)
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(self.make_rng("dropout"), (), jnp.uint32),
                 jnp.int32)

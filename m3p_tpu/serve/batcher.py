@@ -47,11 +47,14 @@ class MicroBatcher:
     def __init__(self, handler: Callable[[List[Any]], Sequence[Any]],
                  max_batch: int = 64, max_wait_s: float = 0.005,
                  name: str = "batcher", max_pending: int = 1024):
-        assert max_batch >= 1
-        # the bound must be a real positive number: queue.Queue treats
-        # maxsize <= 0 as INFINITE, which would silently disable the 429
-        # backpressure an operator thinks they configured
-        assert max_pending >= 1, "max_pending must be >= 1"
+        # ValueError, not assert: asserts are stripped under `python -O`,
+        # and queue.Queue treats maxsize <= 0 as INFINITE — an unvalidated 0
+        # would silently disable the 429 backpressure an operator thinks
+        # they configured
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_pending < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
         self._handler = handler
         self._max_batch = max_batch
         self._max_wait_s = max_wait_s
@@ -92,7 +95,11 @@ class MicroBatcher:
             return fut.result(timeout=timeout)
         except FutureTimeout:
             if fut.done():
-                raise       # handler-raised TimeoutError: a real error
+                # the future completed between the wait timing out and this
+                # check.  result() returns a late RESULT instead of
+                # discarding it, and re-raises a handler-raised TimeoutError
+                # as itself (a real error, not a request timeout)
+                return fut.result()
             fut.cancel()    # shed the work if the worker hasn't started it
             raise RequestTimeout(
                 f"no result within {timeout}s "

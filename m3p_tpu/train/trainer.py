@@ -651,13 +651,21 @@ class Trainer:
 
         self._prev_sigterm = signal.signal(signal.SIGTERM, handler)
 
+    # distinct 'never installed' sentinel: signal.signal() legitimately
+    # returns None when the previous handler was installed OUTSIDE Python
+    # (e.g. by an embedding C runtime), so None cannot double as the marker
+    _SIGTERM_UNSET = object()
+
     def uninstall_preemption_handler(self) -> None:
         """Restore the SIGTERM disposition that preceded install (no-op if
-        install never ran or someone re-bound the signal since)."""
-        prev = getattr(self, "_prev_sigterm", None)
-        if prev is not None:
-            signal.signal(signal.SIGTERM, prev)
-            self._prev_sigterm = None
+        install never ran).  A saved disposition of None (handler installed
+        outside Python) restores SIG_DFL — the closest reachable state; the
+        trainer handler must not leak process-wide either way."""
+        prev = getattr(self, "_prev_sigterm", Trainer._SIGTERM_UNSET)
+        if prev is not Trainer._SIGTERM_UNSET:
+            signal.signal(signal.SIGTERM,
+                          signal.SIG_DFL if prev is None else prev)
+            self._prev_sigterm = Trainer._SIGTERM_UNSET
 
     @staticmethod
     def _resolve_metric(name: str, scores: Dict[str, float]) -> Optional[str]:

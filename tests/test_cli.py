@@ -717,17 +717,11 @@ class TestMissingDataFailsFast:
         assert ("mlm", "en") not in data.train_datasets
         assert any("train.en.npy" in r.getMessage() for r in records)
 
-    def test_missing_train_order_warns_not_raises(self, tmp_path):
-        """The shard train-order schedule is per-dataset OPTIONAL (the
-        reference ships orders only for its CC shard sets): a pretrain
-        dataset without one under an explicit --train_order_path loads
-        unscheduled with a warning, NOT a FileNotFoundError."""
-        import logging
+    def _pretrain_shard_root(self, tmp_path, name):
         import pickle
         from m3p_tpu.data.features import write_feature_shard
 
-        vocab = self._vocab(tmp_path)
-        root = tmp_path / "google"
+        root = tmp_path / name
         root.mkdir()
         r = 4
         rng = np.random.RandomState(0)
@@ -743,6 +737,16 @@ class TestMissingDataFailsFast:
         )
         with open(root / "train.0.en.pkl", "wb") as f:
             pickle.dump({i: ["red cat runs"] for i in ids}, f)
+        return root, r
+
+    def test_missing_train_order_schedule_bearing_raises(self, tmp_path):
+        """google/sbu are SCHEDULE-BEARING: the reference opens
+        {google,sbu}_train_order.json unconditionally and hard-fails when
+        missing (`dataset_pretrain.py:91-96`) — a typo'd --train_order_path
+        must not silently change shard order.  --allow_missing_data
+        restores warn-and-load-unscheduled."""
+        vocab = self._vocab(tmp_path)
+        root, r = self._pretrain_shard_root(tmp_path, "google")
         orders = tmp_path / "orders"
         orders.mkdir()                       # exists, but no schedule file
         argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
@@ -752,17 +756,41 @@ class TestMissingDataFailsFast:
                 "--train_order_path", str(orders),
                 "--max_region_num", str(r), "--sample_n", "2"]
         cfg = args_to_config(get_parser().parse_args(argv))
+        with pytest.raises(FileNotFoundError,
+                           match="google_train_order.json"):
+            load_data(cfg, dataset_paths={"google": str(root)})
+        # deliberate override: loads unscheduled with a warning
+        cfg2 = args_to_config(get_parser().parse_args(
+            argv + ["--allow_missing_data", "True"]))
+        data = load_data(cfg2, dataset_paths={"google": str(root)})
+        assert any(k[0] == "rel" for k in data.train_datasets)
+
+    def test_missing_train_order_other_dataset_warns(self, tmp_path):
+        """For datasets the reference ships NO schedule for, a missing
+        train-order file under --train_order_path warns and loads
+        unscheduled (they legitimately have none)."""
+        import logging
+
+        vocab = self._vocab(tmp_path)
+        root, r = self._pretrain_shard_root(tmp_path, "mydata")
+        orders = tmp_path / "orders"
+        orders.mkdir()
+        argv = ["--data_path", str(tmp_path), "--vocab_path", vocab,
+                "--lgs", "en", "--is_pretrain", "True",
+                "--cross_rel_steps", "mydata-img",
+                "--train_order_path", str(orders),
+                "--max_region_num", str(r), "--sample_n", "2"]
+        cfg = args_to_config(get_parser().parse_args(argv))
         records = []
         handler = logging.Handler()
         handler.emit = records.append
         lg = logging.getLogger("m3p_tpu")
         lg.addHandler(handler)
         try:
-            data = load_data(cfg, dataset_paths={"google": str(root)})
+            data = load_data(cfg, dataset_paths={"mydata": str(root)})
         finally:
             lg.removeHandler(handler)
-        assert any(k[:2] == ("rel", "google") or k[0] == "rel"
-                   for k in data.train_datasets), data.train_datasets.keys()
+        assert any(k[0] == "rel" for k in data.train_datasets)
         assert any("train-order" in rec.getMessage() for rec in records)
 
     def test_two_task_run_with_one_typo_errors(self, tmp_path):

@@ -161,6 +161,22 @@ def test_caption_and_stream_and_parallel(tokenizer, store, captions):
     assert b["tokens"].shape == (4, 16) and b["feats"].shape[0] == 4
     assert "langs" not in b  # no lang_id -> no langs plane
 
+    # drop_last=False (generation eval) covers EVERY item, tail batch short;
+    # a batch larger than the dataset must still yield one batch (the
+    # quick-rehearsal 60-image test set at eval_batch_size 64 once yielded
+    # ZERO batches and scored every caption metric 0.0)
+    n_items = len(cap.items)
+    full = [bb["tokens"].shape[0] for bb in
+            cap.epoch_iterator(batch_size=4, shuffle=False, drop_last=False)]
+    assert sum(full) == n_items
+    big = list(cap.epoch_iterator(batch_size=n_items + 13, shuffle=False,
+                                  drop_last=False))
+    assert len(big) == 1 and big[0]["tokens"].shape[0] == n_items
+    # training default still drops the remainder (static shapes)
+    tr = [bb["tokens"].shape[0] for bb in
+          cap.epoch_iterator(batch_size=4, shuffle=False)]
+    assert all(x == 4 for x in tr)
+
     # with lang_id the batch carries the decoder lang embedding plane the
     # reference trains with (`ic_step` langs.fill_(lang1_id),
     # `xtrainer.py:1464-1470`) — must match eval's tgt_lang_id decode
@@ -245,6 +261,35 @@ def test_grain_pipeline(tokenizer, store, captions):
     it2 = iter(make_grain_loader(ds, batch_size=3, seed=5, num_epochs=2,
                                  shard_by_process=False))
     np.testing.assert_array_equal(t2i["tokens"], next(it2)[0]["tokens"])
+
+
+def test_grain_thread_cliff_warning(tokenizer, store, captions):
+    """worker_count past the measured 4-thread scaling cliff (8 threads
+    measured ~2x SLOWER than 4 — grain_pipeline module docstring) must log
+    a warning; at or below the cliff it must not.  (Direct handler, not
+    caplog: the m3p_tpu logger is non-propagating once configured.)"""
+    pytest.importorskip("grain.python")
+    import logging as _logging
+
+    from m3p_tpu.data.grain_pipeline import make_grain_loader
+
+    ds = RetrievalDataset(captions, store, tokenizer, sample_n=2, max_len=16,
+                          seed=3)
+    records = []
+    handler = _logging.Handler()
+    handler.emit = records.append
+    lg = _logging.getLogger("m3p_tpu")
+    lg.addHandler(handler)
+    try:
+        make_grain_loader(ds, batch_size=3, worker_count=8,
+                          shard_by_process=False)
+        assert any("scaling cliff" in r.getMessage() for r in records)
+        records.clear()
+        make_grain_loader(ds, batch_size=3, worker_count=4,
+                          shard_by_process=False)
+        assert not any("scaling cliff" in r.getMessage() for r in records)
+    finally:
+        lg.removeHandler(handler)
 
 
 def test_grain_all_families(tokenizer, store, captions):

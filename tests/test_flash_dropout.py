@@ -243,3 +243,152 @@ def test_small_dropout_vjp_regenerates_mask(causal):
     dk_ref = np.einsum("bhqk,bhqd->bhkd", ds, np.asarray(q, np.float64)) * scale
     np.testing.assert_allclose(np.asarray(dq, np.float64), dq_ref, **TOL)
     np.testing.assert_allclose(np.asarray(dk, np.float64), dk_ref, **TOL)
+
+
+# ---------------------------------------------------------------------------
+# Packed layout-native kernel (attention_packed): the model's encoder
+# self-attention path — (B, S, H*Dh) in/out, heads as static lane slices.
+# ---------------------------------------------------------------------------
+
+from m3p_tpu.ops.attention import attention_packed  # noqa: E402
+
+
+def _to_packed(x):          # (B, H, S, D) -> (B, S, H*D)
+    b, h, s, d = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, s, h * d)
+
+
+def _from_packed(x, h):     # (B, S, H*D) -> (B, H, S, D)
+    b, s, hd = x.shape
+    return jnp.transpose(x.reshape(b, s, h, hd // h), (0, 2, 1, 3))
+
+
+def _run_packed(q, k, v, kv_mask, seed, rate=RATE, causal=False,
+                interpret=False):
+    """bhsd operands -> packed kernel -> bhsd output (for shared checks)."""
+    h = q.shape[1]
+    out = attention_packed(
+        _to_packed(q), _to_packed(k), _to_packed(v), kv_mask,
+        None if rate == 0.0 else jnp.asarray(seed, jnp.int32), h, causal,
+        1.0 / (q.shape[-1] ** 0.5), rate, interpret)
+    return _from_packed(out, h)
+
+
+def test_packed_rate0_parity_interpret():
+    """Packed kernel == mha_reference at rate 0 (fwd + all grads), in
+    interpret mode so CI covers the kernel math on CPU.  Odd head counts
+    exercise the unaligned (non-128-lane) head slices."""
+    rng = np.random.RandomState(0)
+    b, h, s, d = 2, 3, 40, 16
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    lens = np.array([s, 17])
+    kv_mask = jnp.asarray(np.arange(s)[None, :] < lens[:, None])
+    for causal in (False, True):
+        out = _run_packed(q, k, v, kv_mask, 0, rate=0.0, causal=causal,
+                          interpret=True)
+        ref = mha_reference(q, k, v, kv_mask, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def f_packed(q_, k_, v_):
+            return jnp.sum(_run_packed(q_, k_, v_, kv_mask, 0, rate=0.0,
+                                       causal=causal, interpret=True) ** 2)
+
+        def f_ref(q_, k_, v_):
+            return jnp.sum(mha_reference(q_, k_, v_, kv_mask,
+                                         causal=causal) ** 2)
+
+        gp = jax.grad(f_packed, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4)
+
+
+@tpu_only
+def test_packed_dropout_fwd_mask_and_scale():
+    """V=I verification in the packed layout (mask, keep rate, scale)."""
+    q, k, v, kv_mask = _setup(s=256, masked_tail=40)
+    w0 = np.asarray(_run_packed(q, k, v, kv_mask, 7, rate=0.0))
+    out = np.asarray(_run_packed(q, k, v, kv_mask, 7))
+
+    assert np.abs(out[..., -40:]).max() == 0.0      # padded keys stay zero
+    kept = np.abs(out[..., :-40]) > 0
+    assert 1 - RATE - 0.03 < kept.mean() < 1 - RATE + 0.03
+    np.testing.assert_allclose(out[..., :-40][kept],
+                               (w0[..., :-40] / (1 - RATE))[kept],
+                               rtol=1e-2)
+    # per-head masks differ (global head index seeds the tile PRNG)
+    assert (kept[0, 0] != kept[0, 1]).any()
+    # deterministic per seed, varying across seeds
+    np.testing.assert_array_equal(
+        out, np.asarray(_run_packed(q, k, v, kv_mask, 7)))
+    assert (out != np.asarray(_run_packed(q, k, v, kv_mask, 8))).any()
+    w_ref = np.asarray(mha_reference(q, k, v, kv_mask))
+    np.testing.assert_allclose(out[..., :-40][kept],
+                               (w_ref[..., :-40] / (1 - RATE))[kept],
+                               rtol=3e-2)
+
+
+@tpu_only
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_dropout_vjp_regenerates_mask(causal):
+    """All three grads from the packed fused backward match the analytic
+    formulas built from the forward's own dropped weights (V=I) — pins the
+    inv-folded backward algebra AND fwd/bwd mask bitwise identity."""
+    q, k, v, kv_mask = _setup(s=256)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+
+    out, vjp = jax.vjp(
+        lambda q_, k_, v_: _run_packed(q_, k_, v_, kv_mask, 11,
+                                       causal=causal), q, k, v)
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.randn(*np.asarray(out).shape), jnp.float32)
+    dq, dk, dv = vjp(g)
+
+    w_d = np.asarray(out, np.float64)
+    w = np.asarray(_run_packed(q, k, v, kv_mask, 11, rate=0.0,
+                               causal=causal), np.float64)
+    g_np = np.asarray(g, np.float64)
+    TOL = dict(rtol=2e-2, atol=1e-2)
+
+    dv_ref = np.einsum("bhqk,bhqd->bhkd", w_d, g_np)
+    np.testing.assert_allclose(np.asarray(dv, np.float64), dv_ref, **TOL)
+
+    m_scaled = np.where(w > 1e-30, w_d / np.maximum(w, 1e-30), 0.0)
+    dw = m_scaled * g_np
+    di = np.einsum("bhqd,bhqd->bhq", g_np, w_d)
+    ds = w * (dw - di[..., None])
+    dq_ref = np.einsum("bhqk,bhkd->bhqd", ds, np.asarray(k, np.float64)) * scale
+    dk_ref = np.einsum("bhqk,bhqd->bhkd", ds, np.asarray(q, np.float64)) * scale
+    np.testing.assert_allclose(np.asarray(dq, np.float64), dq_ref, **TOL)
+    np.testing.assert_allclose(np.asarray(dk, np.float64), dk_ref, **TOL)
+
+
+@tpu_only
+def test_packed_layer_path_matches_xla():
+    """The MultiHeadAttention layer routes encoder self-attention through
+    the packed kernel on TPU; its deterministic output must match the
+    use_pallas=False XLA path."""
+    from m3p_tpu.model.layers import MultiHeadAttention
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 37, 64), jnp.float32)
+    lens = np.array([37, 20, 5])
+    mask = jnp.asarray(np.arange(37)[None, :] < lens[:, None])
+    mha = MultiHeadAttention(n_heads=4, dim=64, dropout=0.1, use_pallas=True)
+    variables = mha.init(jax.random.PRNGKey(0), x, mask,
+                         deterministic=True)
+    out_pallas, _ = mha.apply(variables, x, mask, deterministic=True)
+    mha_x = MultiHeadAttention(n_heads=4, dim=64, dropout=0.1,
+                               use_pallas=False)
+    out_xla, _ = mha_x.apply(variables, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla),
+                               rtol=2e-2, atol=2e-2)
+    # training mode with dropout: runs the packed in-kernel PRNG path
+    out_tr, _ = mha.apply(variables, x, mask, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out_tr)).all()
+    assert (np.asarray(out_tr) != np.asarray(out_pallas)).any()

@@ -614,5 +614,8 @@ def test_max_pending_zero_rejected():
     refuse it rather than silently disable the backpressure bound."""
     from m3p_tpu.serve.batcher import MicroBatcher
 
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: the guard must survive `python -O`
+    with pytest.raises(ValueError):
         MicroBatcher(lambda items: items, max_pending=0)
+    with pytest.raises(ValueError):
+        MicroBatcher(lambda items: items, max_batch=0)

@@ -139,5 +139,12 @@ def test_preemption_handler_install_restore(tmp_path):
         assert signal.getsignal(signal.SIGTERM) is sentinel
         t.uninstall_preemption_handler()        # idempotent
         assert signal.getsignal(signal.SIGTERM) is sentinel
+        # a None saved disposition means the prior handler was installed
+        # OUTSIDE Python (signal.signal returns None then) — uninstall must
+        # still clear the trainer handler, restoring SIG_DFL, not no-op
+        t.install_preemption_handler()
+        t._prev_sigterm = None
+        t.uninstall_preemption_handler()
+        assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
     finally:
         signal.signal(signal.SIGTERM, prev)
