@@ -153,11 +153,28 @@ class AoAAttention(nn.Module):
         def split(t):
             return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
 
-        q = split(_dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))(x))
-        k = split(_dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))(x))
-        v = split(_dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))(x))
+        qp = _dense(self.dim, d, pd, "q_lin", ("embed", "qkv"))(x)
+        kp = _dense(self.dim, d, pd, "k_lin", ("embed", "qkv"))(x)
+        vp = _dense(self.dim, d, pd, "v_lin", ("embed", "qkv"))(x)
 
-        if not deterministic and self.attention_dropout > 0.0:
+        if (self.use_pallas and jax.default_backend() == "tpu" and s <= 512):
+            # layout-native packed kernel: same rationale as the encoder
+            # self-attention (model/layers.py) — the projections feed the
+            # pallas_call in (B, S, H*Dh) with no head transpose; dropout,
+            # when active, uses the in-kernel hardware PRNG
+            from m3p_tpu.ops.attention import attention_packed
+
+            if not deterministic and self.attention_dropout > 0.0:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (),
+                                    jnp.uint32), jnp.int32)
+                rate = self.attention_dropout
+            else:
+                seed, rate = None, 0.0
+            ctx = attention_packed(qp, kp, vp, pad_mask, seed, h, False,
+                                   None, rate)
+        elif not deterministic and self.attention_dropout > 0.0:
+            q, k, v = split(qp), split(kp), split(vp)
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(jnp.float32(dh))
@@ -166,9 +183,11 @@ class AoAAttention(nn.Module):
             w = jax.nn.softmax(scores, axis=-1)
             w = nn.Dropout(rate=self.attention_dropout)(w, deterministic=False)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
         else:
+            q, k, v = split(qp), split(kp), split(vp)
             ctx = attention(q, k, v, pad_mask, use_pallas=self.use_pallas)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
 
         gate_in = jnp.concatenate([ctx, x], axis=-1)
         gate_in = nn.Dropout(rate=self.dropout_aoa)(

@@ -209,7 +209,10 @@ class MultiHeadAttention(nn.Module):
                 src = x if kv is None else kv
                 kp, vp = self.k_lin(src), self.v_lin(src)
                 k, v = self._split(kp), self._split(vp)
-                if kv is None and cache is None:
+                if cache is None:
+                    # self-attention AND training-time cross-attention (the
+                    # packed kernel supports sq != sk); decode paths keep
+                    # the split layout for the KV cache
                     packed2d = (qp, kp, vp)
 
         new_cache: Optional[Cache] = None

@@ -307,6 +307,30 @@ def test_packed_rate0_parity_interpret():
                                        rtol=1e-4, atol=1e-4)
 
 
+def test_packed_cross_shape_parity_interpret():
+    """sq != sk (training-time cross-attention) through the packed kernel:
+    fwd + grads == mha_reference."""
+    rng = np.random.RandomState(3)
+    b, h, sq, sk, d = 2, 3, 10, 37, 16
+    q = jnp.asarray(rng.randn(b, h, sq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    lens = np.array([sk, 20])
+    kv_mask = jnp.asarray(np.arange(sk)[None, :] < lens[:, None])
+    out = _run_packed(q, k, v, kv_mask, 0, rate=0.0, interpret=True)
+    ref = mha_reference(q, k, v, kv_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    gp = jax.grad(lambda *t: jnp.sum(
+        _run_packed(*t, kv_mask, 0, rate=0.0, interpret=True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *t: jnp.sum(
+        mha_reference(*t, kv_mask) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
 @tpu_only
 def test_packed_dropout_fwd_mask_and_scale():
     """V=I verification in the packed layout (mask, keep rate, scale)."""

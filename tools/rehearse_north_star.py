@@ -131,13 +131,19 @@ def main(argv=None) -> None:
     # epochs REDUCED vs the recipe's 150x150k (multi-week at cluster scale)
     p.add_argument("--pretrain_epochs", type=int, default=1)
     p.add_argument("--pretrain_epoch_size", type=int, default=12800)
-    p.add_argument("--ft_epochs", type=int, default=3)
+    p.add_argument("--ft_epochs", type=int, default=4)
     p.add_argument("--ft_epoch_size", type=int, default=4096)
     p.add_argument("--cap_epochs", type=int, default=2)
     p.add_argument("--cap_epoch_size", type=int, default=4096)
     p.add_argument("--eval_repeats", type=int, default=2,
                    help="full-grid --eval_only runs; all score lines must "
                         "be byte-identical")
+    # the recipe's adam_inverse_sqrt warmup (4000 updates) is sized for its
+    # 150x150k-sample schedule; a reduced rehearsal finishes INSIDE that
+    # warmup (lr peaked at ~3e-6 of the 5e-5 target and retrieval stayed at
+    # chance).  The lr and optimizer family stay the recipe's; only the
+    # warmup horizon scales with the reduced run.
+    p.add_argument("--warmup_updates", type=int, default=100)
     p.add_argument("--fresh", action="store_true",
                    help="wipe --root first (default resumes/reuses)")
     args = p.parse_args(argv)
@@ -217,6 +223,8 @@ def main(argv=None) -> None:
         "--max_region_num", str(args.regions),
         "--max_len", str(args.max_len), "--bptt", str(args.max_len),
         "--sample_n", "4",
+        "--optimizer", ("adam_inverse_sqrt,beta1=0.9,beta2=0.98,lr=0.00005,"
+                        f"warmup_updates={args.warmup_updates}"),
     ] + model_flags
 
     # ---- phase 1: pretrain ----------------------------------------------
