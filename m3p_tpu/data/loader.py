@@ -597,6 +597,7 @@ def load_data(cfg: TrainConfig, cross_lingual_path: str = "",
                 eval_put("caption_gen", lang, {
                     "batches": batches,
                     "references": [test_caps[i] for i in img_order],
+                    "image_ids": img_order,
                     "tokenizer": tokenizer,
                     "lang_id": cfg.lang2id.get(lang)})
             valid_store = cap_store("valid")
@@ -810,5 +811,6 @@ def _load_mild(cfg, out, root, langs, multi, tokenizer, clager,
                     cfg.eval.eval_batch_size, shuffle=False,
                     drop_last=False)),
                 "references": [cap_q[i] for i in img_order],
+                "image_ids": img_order,
                 "tokenizer": tokenizer,
                 "lang_id": cfg.lang2id.get(lang)})

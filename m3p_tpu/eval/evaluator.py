@@ -294,10 +294,30 @@ class Evaluator:
 
     def evaluate_captioning(self, params, batches: List[Dict],
                             references: List[List[str]], tokenizer,
-                            tgt_lang_id: Optional[int] = None
-                            ) -> Dict[str, float]:
+                            tgt_lang_id: Optional[int] = None,
+                            image_ids: Optional[List] = None,
+                            lang: str = "") -> Dict[str, float]:
         hyps = self.generate_captions(params, batches, tokenizer, tgt_lang_id)
         n = min(len(hyps), len(references))
+        eval_path = getattr(self.cfg.eval, "eval_path", "")
+        if eval_path and image_ids is not None:
+            # decoded hypotheses as an artifact, mirroring the reference's
+            # caption export (`xevaluator.py:986-993` writes
+            # `epoch_*_<ds>_caption_translate.<lang>.json` of
+            # {image_id, caption} dicts to params.eval_path; our eval_path
+            # is per-run so the epoch prefix is dropped).  Without this the
+            # decoded strings are unreachable post-hoc — an all-zero metric
+            # (e.g. a unigram-collapsed undertrained model) can only be
+            # diagnosed by re-running the decode
+            import json
+            import os
+
+            os.makedirs(eval_path, exist_ok=True)
+            out_path = os.path.join(
+                eval_path, f"caption_translate.{lang or 'xx'}.json")
+            with open(out_path, "w") as f:
+                json.dump([{"image_id": str(i), "caption": h}
+                           for i, h in zip(image_ids, hyps[:n])], f)
         # --coco_method selects which caption metrics to report
         # (`xevaluator.py:1010-1016`); names match the COCOEvalCap keys:
         # Bleu, METEOR, ROUGE_L, CIDEr (all four in-process; METEOR is the
@@ -396,7 +416,8 @@ class Evaluator:
             elif base == "caption_gen":
                 got = self.evaluate_captioning(
                     params, data["batches"], data["references"],
-                    data["tokenizer"], data.get("lang_id"))
+                    data["tokenizer"], data.get("lang_id"),
+                    image_ids=data.get("image_ids"), lang=suffix)
             elif base in ("mt_gen", "ntg_gen", "mmt_gen"):
                 got = self.evaluate_translation(
                     params, data["batches"], data["references"],

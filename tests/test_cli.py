@@ -382,6 +382,34 @@ def test_coco_method_selects_caption_metrics():
     assert set(scores) == {"caption_cider"}
 
 
+def test_caption_eval_exports_hypotheses(tmp_path):
+    """With --eval_path set, the decoded captions land as
+    caption_translate.<lang>.json of {image_id, caption} dicts (the
+    reference's caption export, `xevaluator.py:986-993`) — so an all-zero
+    metric can be diagnosed from the artifact instead of a re-decode."""
+    import dataclasses
+    import json
+
+    from m3p_tpu.config import small_test_config
+    from m3p_tpu.eval.evaluator import Evaluator
+
+    cfg = small_test_config()
+    cfg = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, coco_method="CIDEr", eval_path=str(tmp_path / "artifacts")))
+    ev = Evaluator(model=None, cfg=cfg)
+    ev.generate_captions = lambda *a, **k: ["red cat", "der"]
+    ev.evaluate_captioning(None, [], [["red cat"], ["a dog"]], None,
+                           image_ids=["img0", "img1"], lang="en")
+    out = json.load(open(tmp_path / "artifacts" / "caption_translate.en.json"))
+    assert out == [{"image_id": "img0", "caption": "red cat"},
+                   {"image_id": "img1", "caption": "der"}]
+    # no eval_path -> no artifact, no error
+    ev2 = Evaluator(model=None, cfg=small_test_config())
+    ev2.generate_captions = lambda *a, **k: ["x"]
+    ev2.evaluate_captioning(None, [], [["x"]], None, image_ids=["i"],
+                            lang="de")
+
+
 def test_save_every_epoch_pretrain_snapshots(tmp_path):
     """Pretrain runs save model_pretrain_<epoch> every --save_every_epoch
     epochs (`train_x.py:505-506`)."""

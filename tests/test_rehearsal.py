@@ -78,3 +78,11 @@ def test_rehearsal_quick_smoke(tmp_path):
     for phase in ("corpus", "pretrain", "finetune", "caption",
                   "caption_eval"):
         assert (root / "stamps" / f"{phase}.done").exists()
+    # decoded hypotheses exported per language and mode
+    # (`xevaluator.py:986-993` export convention)
+    for mode in ("exact", "fast"):
+        for lang in ("en", "de"):
+            hyp = root / f"hyps_{mode}" / f"caption_translate.{lang}.json"
+            assert hyp.exists(), hyp
+            rows = json.loads(hyp.read_text())
+            assert rows and {"image_id", "caption"} <= set(rows[0])

@@ -291,12 +291,18 @@ def main(argv=None) -> None:
     beam = "2" if args.quick else "5"
     if not phase_done(root, "caption_eval"):
         for mode, extra in (("exact", []), ("fast", ["--fast_beam", "True"])):
+            # --eval_path: the decoded hypotheses land as
+            # caption_translate.<lang>.json artifacts (the reference's
+            # caption export, `xevaluator.py:986-993`) — without them an
+            # all-zero metric can't be diagnosed post-hoc
+            hyp_dir = os.path.join(root, f"hyps_{mode}")
             dt = run_phase(f"caption_eval_{mode}", cap_flags + [
-                "--eval_only", "True", "--beam_size", beam] + extra,
+                "--eval_only", "True", "--beam_size", beam,
+                "--eval_path", hyp_dir] + extra,
                 os.path.join(logs, f"caption_eval_{mode}.log"))
             line = last_score_line(cap_log)
             report["phases"][f"caption_eval_{mode}"] = {
-                "wall_s": round(dt, 1), "scores": line,
+                "wall_s": round(dt, 1), "scores": line, "hyp_dir": hyp_dir,
                 "metrics": {k: v for k, v in parse_scores(line).items()
                             if "caption" in k}}
         mark_done(root, "caption_eval")
