@@ -67,6 +67,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from m3p_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()   # repeat benches skip the 5-25 min compile
+
     from m3p_tpu.config import ModelConfig
     from m3p_tpu.data.masking import MaskingConfig
     from m3p_tpu.data import synthetic

@@ -413,6 +413,13 @@ def main(argv=None) -> None:
     # SLURM/NCCL init, `slurm.py:46-170`)
     auto_init_distributed()
 
+    # on-disk XLA compilation cache: multi-phase workflows (pretrain ->
+    # fine-tune -> eval chains) are separate processes compiling identical
+    # flagship graphs at 5-25 min each on the remote-compile backend
+    from m3p_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     args = get_parser().parse_args(argv)
     cfg = args_to_config(args)
     logger = initialize_exp(cfg, jax.process_index())

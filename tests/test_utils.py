@@ -1,5 +1,7 @@
 """Config DSLs, schedules, sampling."""
 
+import os
+
 import numpy as np
 
 from m3p_tpu.config import parse_lgs, parse_steps, small_test_config
@@ -148,3 +150,29 @@ def test_preemption_handler_install_restore(tmp_path):
         assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
     finally:
         signal.signal(signal.SIGTERM, prev)
+
+
+def test_persistent_xla_cache_config(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at an on-disk cache dir, honors
+    the M3P_XLA_CACHE override, and M3P_XLA_CACHE=0 disables."""
+    import jax
+
+    from m3p_tpu.utils.xla_cache import enable_persistent_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        target = str(tmp_path / "xla")
+        monkeypatch.setenv("M3P_XLA_CACHE", target)
+        assert enable_persistent_cache() == target
+        assert jax.config.jax_compilation_cache_dir == target
+        assert os.path.isdir(target)
+        # explicit path wins over env
+        explicit = str(tmp_path / "explicit")
+        assert enable_persistent_cache(explicit) == explicit
+        monkeypatch.setenv("M3P_XLA_CACHE", "0")
+        assert enable_persistent_cache() == ""
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
