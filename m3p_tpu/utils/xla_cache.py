@@ -24,12 +24,38 @@ def enable_persistent_cache(path: str | None = None) -> str:
 
     ``M3P_XLA_CACHE`` overrides the location; ``M3P_XLA_CACHE=0`` disables.
     Returns the cache dir ("" when disabled).
+
+    Without the env override, the cache auto-enables ONLY for single-process
+    runs on a non-CPU backend.  The cache exists for the tunneled TPU's
+    5-25 min remote compiles; everywhere else it is all risk, no reward —
+    both failure modes were OBSERVED in the 4-process CPU kill-and-resume
+    test the moment the cache shipped un-gated:
+
+    * XLA:CPU serializes AOT machine code whose target features can
+      mismatch at load time (`cpu_aot_loader: Target machine feature
+      +prefer-no-gather is not supported on the host machine ... SIGILL`),
+      stalling workers that hit a cache written by a sibling process.
+    * Multi-process ranks race on the shared directory, and a killed run
+      (preemption -> SIGTERM -> collective checkpoint -> relaunch is a
+      supported path) leaves it partially populated: on resume, cache-hit
+      ranks enter the first collective in milliseconds while the rest
+      recompile for minutes, and the 30 s CPU/Gloo rendezvous times out
+      (`GetKeyValue() timed out ... cpu:gloo/...`).
+
+    An explicit ``M3P_XLA_CACHE=<dir>`` (or ``path`` argument) is operator
+    intent and force-enables at that location regardless of backend.
     """
     import jax
 
     env = os.environ.get("M3P_XLA_CACHE")
     if env == "0":
         return ""
+    if not (env or path):
+        # auto mode: remote-compile chip only — compile-time symmetry
+        # matters more than warm starts wherever ranks must rendezvous,
+        # and XLA:CPU AOT deserialization is not trustworthy across procs
+        if jax.process_count() > 1 or jax.default_backend() == "cpu":
+            return ""
     cache_dir = path or env or os.path.join(
         os.path.expanduser("~"), ".cache", "m3p_tpu", "xla")
     os.makedirs(cache_dir, exist_ok=True)

@@ -172,6 +172,22 @@ def test_persistent_xla_cache_config(tmp_path, monkeypatch):
         assert enable_persistent_cache(explicit) == explicit
         monkeypatch.setenv("M3P_XLA_CACHE", "0")
         assert enable_persistent_cache() == ""
+        # auto mode (no env/path): DISABLED on the CPU backend and in
+        # multi-process runs, config untouched — XLA:CPU AOT entries can
+        # fail machine-feature checks at load (observed SIGILL warning +
+        # stall), and partially-populated shared caches desynchronize
+        # resumed ranks past the 30 s Gloo rendezvous (both seen in the
+        # 4-process kill-and-resume test)
+        monkeypatch.delenv("M3P_XLA_CACHE")
+        before = jax.config.jax_compilation_cache_dir
+        assert jax.default_backend() == "cpu"   # the test env
+        assert enable_persistent_cache() == ""
+        assert jax.config.jax_compilation_cache_dir == before
+        # ...but an explicit env dir is operator intent: honored on any
+        # backend, even multi-process
+        monkeypatch.setenv("M3P_XLA_CACHE", target)
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        assert enable_persistent_cache() == target
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
