@@ -422,7 +422,14 @@ class Trainer:
 
     def print_stats(self) -> None:
         rates = self.speed.rates()
-        lr = float(self.lr_schedule(self.n_total_iter))
+        # the APPLIED schedule counts optimizer updates (optax.MultiSteps
+        # advances the inner scale_by_schedule count only on the k-th
+        # micro-step), so the logged lr must divide micro-iters by the
+        # accumulation factor — logging lr_schedule(n_total_iter) under
+        # accumulate_gradients=k would show warmup ending k times early
+        # and understate the post-warmup lr by sqrt(k)
+        k = max(1, self.cfg.optim.accumulate_gradients)
+        lr = float(self.lr_schedule(self.n_total_iter // k))
         logger.info("iter %d - %s - %.1f sent/s - %.0f words/s - lr %.3e",
                     self.n_total_iter, self.stats.format(),
                     rates["sentences_per_s"], rates["words_per_s"], lr)

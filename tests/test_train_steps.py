@@ -357,3 +357,44 @@ def test_clm_context_size(setup):
     allctx, _ = S.clm_loss(model, state.params, batch, key,
                            deterministic=True, context_size=16)
     assert float(allctx) == 0.0
+
+
+def test_logged_lr_counts_updates_not_microiters():
+    """With accumulate_gradients=k the APPLIED schedule advances once per k
+    micro-steps (optax.MultiSteps), so the logged lr must be
+    lr_schedule(n_total_iter // k) — logging the raw micro-iter count showed
+    warmup ending k times early and understated the post-warmup lr by
+    sqrt(k) (observed live: lr 1.9e-5 at iter 680 of a warmup-100 accum-4
+    run whose real update count was 170 -> 3.8e-5)."""
+    from types import SimpleNamespace
+
+    from m3p_tpu.train.optim import inverse_sqrt_schedule
+    from m3p_tpu.train.trainer import Trainer
+
+    sched = inverse_sqrt_schedule(5e-5, warmup_updates=100)
+    logged = {}
+
+    class _Log:
+        def info(self, fmt, *a):
+            logged["lr"] = a[-1]
+
+    stub = SimpleNamespace(
+        speed=SimpleNamespace(
+            rates=lambda: {"sentences_per_s": 0.0, "words_per_s": 0.0},
+            reset=lambda: None),
+        stats=SimpleNamespace(format=lambda: ""),
+        lr_schedule=sched,
+        n_total_iter=680,
+        cfg=SimpleNamespace(optim=SimpleNamespace(accumulate_gradients=4)),
+    )
+    import m3p_tpu.train.trainer as trainer_mod
+
+    orig = trainer_mod.logger
+    trainer_mod.logger = _Log()
+    try:
+        Trainer.print_stats(stub)
+    finally:
+        trainer_mod.logger = orig
+    # 680 micro-iters at accum 4 = 170 updates: 5e-5 * sqrt(100/170)
+    assert abs(logged["lr"] - float(sched(170))) < 1e-12
+    assert logged["lr"] > float(sched(680)) * 1.5
