@@ -16,6 +16,8 @@ match `evaluate_image_retrieval` (`xevaluator.py:1621-1657`).
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from typing import Dict, Optional
 
 import jax
@@ -23,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from m3p_tpu.model.transformer import as_variables, lengths_to_mask
+
+logger = logging.getLogger(__name__)
 
 
 # module-level jit keyed on the (hashable) flax module config so repeated
@@ -138,8 +142,26 @@ def retrieval_grid_scores(
                          refine_image=refine_image,
                          text_width=(w if w < S else None))
         pending.append((ii[: idx.size], ci[: idx.size], s))
-    for ii, ci, s in pending:
+    # materialization is where the wall time goes (each np.asarray blocks on
+    # that chunk's device execution), so progress logs here track REAL
+    # completion — a full Multi30K-shaped grid is hours of silent device
+    # time otherwise.  Time-based throttle: chatty on big grids, silent on
+    # the per-epoch monitoring evals.
+    t0 = time.perf_counter()
+    last_log = t0
+    pairs_done = 0
+    for k, (ii, ci, s) in enumerate(pending):
         out[ii, ci] = np.asarray(s)[: ii.size]
+        pairs_done += ii.size
+        now = time.perf_counter()
+        if now - last_log >= 60.0:
+            rate = pairs_done / max(now - t0, 1e-9)
+            left = sum(p[0].size for p in pending[k + 1:])
+            logger.info(
+                "grid eval: %d/%d chunks, %d pairs scored, %.0f pairs/s, "
+                "eta %.1f min", k + 1, len(pending), pairs_done, rate,
+                left / max(rate, 1e-9) / 60.0)
+            last_log = now
     return out
 
 

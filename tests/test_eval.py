@@ -399,3 +399,44 @@ class TestCaptionMetricGoldens:
         pm, rm = 1.0, 0.5
         expect = 100.0 * ((1 + beta ** 2) * pm * rm) / (rm + beta ** 2 * pm)
         assert abs(score - expect) < 1e-9
+
+
+def test_retrieval_grid_progress_logging(monkeypatch, caplog):
+    """Big grids log chunk progress during materialization (a full
+    Multi30K-shaped grid is hours of device time — it must not be silent);
+    the 60 s throttle keeps small monitoring evals quiet.  A fake clock
+    advancing >60 s per materialized chunk forces the log path."""
+    import itertools
+    import logging
+
+    import m3p_tpu.eval.retrieval as R
+
+    cfg = small_test_config()
+    model, params = build_model(cfg.model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    n_img, n_cap, S, Rg = 3, 4, 10, 8
+    cap_tokens = rng.randint(4, 500, (n_cap, S)).astype(np.int32)
+    cap_len = np.full(n_cap, S, np.int32)
+    feats = rng.randn(n_img, Rg, 2048).astype(np.float32)
+    locs = rng.rand(n_img, Rg, 5).astype(np.float32)
+    img_len = np.full(n_img, Rg, np.int32)
+
+    fake = itertools.count(step=61.0)
+    monkeypatch.setattr(R.time, "perf_counter", lambda: float(next(fake)))
+    with caplog.at_level(logging.INFO, logger="m3p_tpu.eval.retrieval"):
+        grid = R.retrieval_grid_scores(model, params, cap_tokens, cap_len,
+                                       feats, locs, img_len, chunk_size=5,
+                                       refine_image=False)
+    assert grid.shape == (n_img, n_cap)
+    prog = [r for r in caplog.records if "grid eval:" in r.getMessage()]
+    assert prog, "no progress lines on a multi-chunk grid with a slow clock"
+    assert "pairs/s" in prog[0].getMessage()
+
+    # real clock, tiny grid: silent (monitoring evals stay clean)
+    monkeypatch.undo()
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="m3p_tpu.eval.retrieval"):
+        R.retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
+                                locs, img_len, chunk_size=5,
+                                refine_image=False)
+    assert not [r for r in caplog.records if "grid eval:" in r.getMessage()]
