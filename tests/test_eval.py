@@ -401,11 +401,16 @@ class TestCaptionMetricGoldens:
         assert abs(score - expect) < 1e-9
 
 
-def test_retrieval_grid_progress_logging(monkeypatch, caplog):
+def test_retrieval_grid_progress_logging(monkeypatch):
     """Big grids log chunk progress during materialization (a full
     Multi30K-shaped grid is hours of device time — it must not be silent);
     the 60 s throttle keeps small monitoring evals quiet.  A fake clock
-    advancing >60 s per materialized chunk forces the log path."""
+    advancing >60 s per materialized chunk forces the log path.
+
+    Records are captured with a DIRECT handler, not caplog: caplog sees
+    only PROPAGATED records, and any earlier test that ran initialize_exp
+    leaves the 'm3p_tpu' logger non-propagating — with caplog this test
+    passes alone and fails in the full suite (test-order dependent)."""
     import itertools
     import logging
 
@@ -421,22 +426,32 @@ def test_retrieval_grid_progress_logging(monkeypatch, caplog):
     locs = rng.rand(n_img, Rg, 5).astype(np.float32)
     img_len = np.full(n_img, Rg, np.int32)
 
-    fake = itertools.count(step=61.0)
-    monkeypatch.setattr(R.time, "perf_counter", lambda: float(next(fake)))
-    with caplog.at_level(logging.INFO, logger="m3p_tpu.eval.retrieval"):
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    lg = logging.getLogger("m3p_tpu.eval.retrieval")
+    prev_level = lg.level
+    lg.addHandler(handler)
+    lg.setLevel(logging.INFO)
+    try:
+        fake = itertools.count(step=61.0)
+        monkeypatch.setattr(R.time, "perf_counter",
+                            lambda: float(next(fake)))
         grid = R.retrieval_grid_scores(model, params, cap_tokens, cap_len,
                                        feats, locs, img_len, chunk_size=5,
                                        refine_image=False)
-    assert grid.shape == (n_img, n_cap)
-    prog = [r for r in caplog.records if "grid eval:" in r.getMessage()]
-    assert prog, "no progress lines on a multi-chunk grid with a slow clock"
-    assert "pairs/s" in prog[0].getMessage()
+        assert grid.shape == (n_img, n_cap)
+        prog = [r for r in records if "grid eval:" in r.getMessage()]
+        assert prog, "no progress lines on a multi-chunk grid, slow clock"
+        assert "pairs/s" in prog[0].getMessage()
 
-    # real clock, tiny grid: silent (monitoring evals stay clean)
-    monkeypatch.undo()
-    caplog.clear()
-    with caplog.at_level(logging.INFO, logger="m3p_tpu.eval.retrieval"):
+        # real clock, tiny grid: silent (monitoring evals stay clean)
+        monkeypatch.undo()
+        records.clear()
         R.retrieval_grid_scores(model, params, cap_tokens, cap_len, feats,
                                 locs, img_len, chunk_size=5,
                                 refine_image=False)
-    assert not [r for r in caplog.records if "grid eval:" in r.getMessage()]
+        assert not [r for r in records if "grid eval:" in r.getMessage()]
+    finally:
+        lg.removeHandler(handler)
+        lg.setLevel(prev_level)
